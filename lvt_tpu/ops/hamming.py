@@ -1,0 +1,97 @@
+"""Bit-packed binary descriptors and dense masked Hamming matching.
+
+TPU-native replacement for the reference's OpenCV ``BFMatcher(NORM_HAMMING)``
+masked 2-NN loops (lvt/src/lvt_image_features_struct.cpp:68-148). Instead of a
+25px spatial hash + per-query masked knnMatch, we compute one dense Hamming
+distance matrix (XOR + population count over 8 uint32 words = 256-bit BRIEF)
+and apply candidate masks as +inf distances; the mask *is* the spatial filter.
+
+Match-acceptance rules mirror the reference exactly:
+  * >= 2 candidates: accept best iff d1/d2 < ratio_threshold
+  * exactly 1 candidate: accept iff d1 <= absolute_threshold
+  * 0 candidates: no match
+(lvt_image_features_struct.cpp:104-120 for tracking, :140-147 for row match.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DESC_WORDS = 8  # 256-bit BRIEF descriptors as 8 x uint32
+BIG = jnp.float32(1.0e9)
+
+
+def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dense Hamming distance matrix between packed descriptors.
+
+    a: [N, W] uint32, b: [K, W] uint32  ->  [N, K] int32.
+
+    Unrolled over the (static, small) word axis so XLA keeps a single [N, K]
+    accumulator live instead of an [N, K, W] intermediate.
+    """
+    n, w = a.shape
+    k = b.shape[0]
+    d = jnp.zeros((n, k), jnp.int32)
+    for i in range(w):
+        x = a[:, i][:, None] ^ b[None, :, i]
+        d = d + jax.lax.population_count(x).astype(jnp.int32)
+    return d
+
+
+def masked_top2(
+    dist: jnp.ndarray, cand_mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-row best/second distances among masked candidates.
+
+    dist: [Q, K] float or int, cand_mask: [Q, K] bool.
+    Returns (d1, d2, best_idx, n_cand) each [Q].
+    """
+    d = jnp.where(cand_mask, dist.astype(jnp.float32), BIG)
+    neg2, idx2 = jax.lax.top_k(-d, 2)
+    d1 = -neg2[..., 0]
+    d2 = -neg2[..., 1]
+    best = idx2[..., 0]
+    n_cand = jnp.sum(cand_mask, axis=-1)
+    return d1, d2, best, n_cand
+
+
+def accept_matches(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    best: jnp.ndarray,
+    n_cand: jnp.ndarray,
+    ratio_threshold,
+    abs_threshold,
+) -> jnp.ndarray:
+    """Reference acceptance rule -> match index per query, -1 if rejected."""
+    ok_ratio = (n_cand >= 2) & (d1 < ratio_threshold * d2)
+    ok_single = (n_cand == 1) & (d1 <= abs_threshold)
+    return jnp.where(ok_ratio | ok_single, best, -1)
+
+
+def resolve_one_to_one(
+    match_idx: jnp.ndarray, d1: jnp.ndarray, num_targets: int
+) -> jnp.ndarray:
+    """Make a tentative many-to-one matching one-to-one.
+
+    The reference loops over queries sequentially, marking target features
+    as matched so later queries cannot claim them (greedy in query order,
+    lvt_local_map.cpp:149-171). The parallel equivalent: every target keeps
+    only the query with the smallest descriptor distance (ties broken by
+    query index); losers get -1. This is order-independent and never worse
+    than greedy in match quality.
+
+    match_idx: [Q] int32 in [-1, num_targets); d1: [Q] distances.
+    Returns match_idx with conflict losers set to -1.
+    """
+    q = match_idx.shape[0]
+    valid = match_idx >= 0
+    # unique ordering key: distance then query index (distances are <= 256)
+    key = (d1.astype(jnp.int32) * (q + 1) + jnp.arange(q, dtype=jnp.int32))
+    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+    tgt = jnp.where(valid, match_idx, num_targets)
+    best_key = jnp.full((num_targets + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    best_key = best_key.at[tgt].min(key)
+    won = valid & (best_key[tgt] == key)
+    return jnp.where(won, match_idx, -1)

@@ -1,0 +1,172 @@
+"""Projection matching (map -> frame) and stereo row matching.
+
+TPU-native re-design of the reference's two matching hot loops:
+
+* ``find_map_matches`` == lvt_local_map::find_matches
+  (lvt/src/lvt_local_map.cpp:136-229): project every map point, build a
+  dense candidate mask (visibility x tracking radius x unmatched), match via
+  one masked Hamming matrix, and — instead of the sequential "retry all
+  visible points with doubled radius if < 50 matches" branch — evaluate both
+  radii from the *same* distance matrix and select with `where`.
+
+* ``row_match`` == lvt_image_features_handler::row_match +
+  lvt_image_features_struct::row_match (lvt_image_features_handler.cpp:302-323,
+  lvt_image_features_struct.cpp:122-148): match unmatched left features to
+  unmatched right features within +-vertical_search_radius image rows.
+
+Both run entirely on device with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from lvt_tpu.core.features import FrameFeatures
+from lvt_tpu.geometry import se3
+from lvt_tpu.ops import hamming
+
+
+class MapMatchResult(NamedTuple):
+    # per-map-point (all [M]):
+    match_idx: jnp.ndarray    # feature index, -1 = visible but unmatched,
+                              # -2 = invisible (reference encoding)
+    projection: jnp.ndarray   # [M, 2] projected pixel position
+    visible: jnp.ndarray      # [M] bool
+    d1: jnp.ndarray           # best descriptor distance (for metrics)
+    d2: jnp.ndarray           # second-best distance
+    # per-feature:
+    feature_matched: jnp.ndarray  # [K] bool, features claimed by a map point
+    matches_count: jnp.ndarray    # [] int32
+    used_wide_radius: jnp.ndarray  # [] bool (the 2x-radius fallback fired)
+
+
+def _match_at_radius(dist, cand_base, dr2, radius, ratio_th, abs_th, num_feats):
+    cand = cand_base & (dr2 < jnp.float32(radius) ** 2)
+    d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
+    idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_th, abs_th)
+    idx = hamming.resolve_one_to_one(idx, d1, num_feats)
+    return idx, d1, d2
+
+
+def find_map_matches(
+    map_pos: jnp.ndarray,        # [M, 3] world positions
+    map_desc: jnp.ndarray,       # [M, W] packed descriptors
+    map_valid: jnp.ndarray,      # [M] bool
+    pose,                        # predicted camera pose (se3.Pose)
+    feats: FrameFeatures,
+    *,
+    fx, fy, cx, cy,
+    near, far, min_x, max_x, min_y, max_y,
+    tracking_radius: int,
+    ratio_threshold: float,
+    abs_threshold: float,
+    retry_min_matches: int,      # LVT_N_MATCHES_TH == 50
+) -> MapMatchResult:
+    m = map_pos.shape[0]
+    k = feats.kp.shape[0]
+
+    w2c = se3.world_to_camera(pose)
+    pts_cam = se3.transform_points(w2c, map_pos)
+    uv = se3.project_points(pts_cam, fx, fy, cx, cy)
+    visible = map_valid & se3.visibility_mask(
+        pts_cam, uv, near, far, min_x, max_x, min_y, max_y
+    )
+
+    # one Hamming matrix serves both radius passes
+    dist = hamming.hamming_matrix(map_desc, feats.desc)  # [M, K]
+
+    diff = feats.kp[None, :, :] - uv[:, None, :]
+    dr2 = jnp.sum(diff * diff, axis=-1)  # [M, K]
+    cand_base = visible[:, None] & feats.valid[None, :]
+
+    idx1, d1a, d2a = _match_at_radius(
+        dist, cand_base, dr2, tracking_radius, ratio_threshold, abs_threshold, k
+    )
+    count1 = jnp.sum(idx1 >= 0)
+
+    idx2, d1b, d2b = _match_at_radius(
+        dist, cand_base, dr2, 2 * tracking_radius, ratio_threshold, abs_threshold, k
+    )
+
+    use_wide = count1 < retry_min_matches
+    idx = jnp.where(use_wide, idx2, idx1)
+    d1 = jnp.where(use_wide, d1b, d1a)
+    d2 = jnp.where(use_wide, d2b, d2a)
+    matches_count = jnp.sum(idx >= 0)
+
+    match_idx = jnp.where(visible, jnp.where(idx >= 0, idx, -1), -2)
+
+    feature_matched = jnp.zeros((k + 1,), bool)
+    feature_matched = feature_matched.at[
+        jnp.where(idx >= 0, idx, k)
+    ].set(True)[:k]
+    # slot k absorbed the non-matches; make sure padding stays unmatched
+    feature_matched = feature_matched & feats.valid
+
+    return MapMatchResult(
+        match_idx=match_idx,
+        projection=uv,
+        visible=visible,
+        d1=d1,
+        d2=d2,
+        feature_matched=feature_matched,
+        matches_count=matches_count,
+        used_wide_radius=use_wide,
+    )
+
+
+class RowMatchResult(NamedTuple):
+    right_idx: jnp.ndarray       # [K] per-left-feature right index, -1 = none
+    left_matched: jnp.ndarray    # [K] bool
+    right_matched: jnp.ndarray   # [K] bool
+    count: jnp.ndarray           # [] int32
+
+
+def row_match(
+    left: FrameFeatures,
+    right: FrameFeatures,
+    left_excluded: jnp.ndarray,   # [K] bool, left features already tracked
+    *,
+    vertical_search_radius: int,
+    ratio_threshold: float,       # triangulation ratio (0.6)
+    abs_threshold: float,
+    img_rows: int,
+) -> RowMatchResult:
+    """Greedy epipolar row matching, vectorized.
+
+    Semantics of the reference candidate window: the left y coordinate is
+    truncated to int and right candidates must satisfy
+    floor(y_l) - r <= y_r <= floor(y_l) + r (clamped to the image)
+    (lvt_image_features_struct.cpp:124-139).
+    """
+    k = left.kp.shape[0]
+    query_ok = left.valid & ~left_excluded
+
+    y_l = jnp.floor(left.kp[:, 1])
+    lo = jnp.maximum(y_l - vertical_search_radius, 0.0)
+    hi = jnp.minimum(y_l + vertical_search_radius, float(img_rows))
+    y_r = right.kp[:, 1]
+    cand = (
+        query_ok[:, None]
+        & right.valid[None, :]
+        & (y_r[None, :] >= lo[:, None])
+        & (y_r[None, :] <= hi[:, None])
+    )
+
+    dist = hamming.hamming_matrix(left.desc, right.desc)
+    d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
+    idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_threshold, abs_threshold)
+    idx = hamming.resolve_one_to_one(idx, d1, k)
+
+    left_matched = idx >= 0
+    right_matched = jnp.zeros((k + 1,), bool).at[
+        jnp.where(left_matched, idx, k)
+    ].set(True)[:k] & right.valid
+    return RowMatchResult(
+        right_idx=idx,
+        left_matched=left_matched,
+        right_matched=right_matched,
+        count=jnp.sum(left_matched),
+    )
