@@ -1,0 +1,174 @@
+"""Corner detection: vectorized FAST-9/16 score map + per-cell top-k.
+
+TPU-native replacement for the reference's per-cell OpenCV AGAST detection +
+greedy adaptive non-maximal suppression (lvt/src/lvt_image_features_handler.cpp:
+95-169, ANMS :34-83). Design decisions (per SURVEY.md section 7):
+
+* The sequential AGAST decision tree becomes a *data-parallel* segment test:
+  all 16 ring pixels are materialized as shifted copies of the image and the
+  ">= 9 contiguous brighter/darker" test is evaluated with log-step bit tricks
+  on a uint32 ring mask — identical corner criterion (FAST/OAST 9-16 family),
+  no branches, everything on the VPU.
+
+* The corner *score* is the classic max-threshold definition: the largest t
+  for which the pixel is still a corner == max over the 16 contiguous 9-arcs
+  of the minimum |difference| within the arc. Because the score map is
+  threshold-independent, the reference's "retry detection with halved AGAST
+  threshold if < 200 corners" (lvt_image_features_handler.cpp:161-169)
+  becomes a *reselection* against the same score map with `where` — no second
+  detection pass.
+
+* Greedy per-cell ANMS becomes per-cell top-k by score after 3x3 non-max
+  suppression (selection differs slightly from ANMS; parity is judged at
+  trajectory level, SURVEY.md hard part #2). Unlike the reference, which
+  detects on cell sub-images and therefore loses corners within 3px of every
+  cell boundary, detection here is global; only selection is per-cell.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 (dx, dy), the FAST-9/16 ring, clockwise.
+RING_OFFSETS = (
+    (0, -3), (1, -3), (2, -2), (3, -1),
+    (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1),
+    (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+BORDER = 3
+
+
+def _ring_stack(img: jnp.ndarray) -> jnp.ndarray:
+    """[16, H, W] stack of ring-shifted copies (roll; border masked later)."""
+    shifted = [jnp.roll(img, shift=(-dy, -dx), axis=(0, 1)) for dx, dy in RING_OFFSETS]
+    return jnp.stack(shifted, axis=0)
+
+
+def _circular_min9(d: jnp.ndarray) -> jnp.ndarray:
+    """min over each circular window of 9 consecutive ring elements.
+
+    d: [16, ...] -> out[i] = min(d[i], d[i+1], ..., d[i+8]) (mod 16),
+    computed with log-step doubling (4 rolls instead of 8).
+    """
+    rot = lambda x, k: jnp.roll(x, -k, axis=0)
+    a2 = jnp.minimum(d, rot(d, 1))
+    a4 = jnp.minimum(a2, rot(a2, 2))
+    a8 = jnp.minimum(a4, rot(a4, 4))
+    return jnp.minimum(a8, rot(d, 8))
+
+
+def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """FAST-9/16 max-threshold score per pixel ([H, W] float32, 0 = no corner).
+
+    score(p) = max(t) such that some 9-long contiguous arc of the 16-pixel
+    ring is entirely brighter than p+t (or entirely darker than p-t).
+    """
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    ring = _ring_stack(img)
+    d = ring - img[None, :, :]  # [16, H, W]
+
+    # brightest arc: max over arcs of (min of d within arc); dark symmetric
+    score_bright = jnp.max(_circular_min9(d), axis=0)
+    score_dark = jnp.max(_circular_min9(-d), axis=0)
+    score = jnp.maximum(score_bright, score_dark)
+    score = jnp.maximum(score, 0.0)
+
+    # zero out the 3px border where the ring wraps around
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (
+        (ys >= BORDER) & (ys < h - BORDER) & (xs >= BORDER) & (xs < w - BORDER)
+    )
+    return jnp.where(interior, score, 0.0)
+
+
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression: keep pixels that are the local maximum."""
+    neighborhood = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max,
+        window_dimensions=(3, 3), window_strides=(1, 1), padding="SAME",
+    )
+    return jnp.where(score >= neighborhood, score, 0.0)
+
+
+class Detections(NamedTuple):
+    kp: jnp.ndarray      # [K, 2] float32 (x, y)
+    score: jnp.ndarray   # [K] float32
+    valid: jnp.ndarray   # [K] bool
+    count: jnp.ndarray   # [] int32
+    threshold_used: jnp.ndarray  # [] float32 (after the low-corner fallback)
+
+
+def _cell_geometry(h: int, w: int, cell_size: int) -> tuple[int, int, int, int]:
+    """Per-axis effective cell sizes (a cell larger than the image collapses
+    to the image extent so we never pad beyond it)."""
+    s_x = min(cell_size, w)
+    s_y = min(cell_size, h)
+    ncx = -(-w // s_x)
+    ncy = -(-h // s_y)
+    return s_y, s_x, ncy, ncx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell_size", "max_per_cell", "corners_low_threshold")
+)
+def detect_corners(
+    img: jnp.ndarray,
+    threshold,
+    *,
+    cell_size: int,
+    max_per_cell: int,
+    corners_low_threshold: int = 200,
+) -> Detections:
+    """Full detection: score map -> NMS -> adaptive threshold -> cell top-k.
+
+    Output capacity is ncells * max_per_cell, cell-major then score-descending
+    (matching the reference's concatenate-per-cell order,
+    lvt_image_features_handler.cpp:131-154).
+    """
+    h, w = img.shape
+    s_y, s_x, ncy, ncx = _cell_geometry(h, w, cell_size)
+
+    score = nms3x3(fast_score_map(img))
+
+    # pad to the cell grid and reshape to [ncells, cellpix]
+    pad_y, pad_x = ncy * s_y - h, ncx * s_x - w
+    sp = jnp.pad(score, ((0, pad_y), (0, pad_x)))
+    cells = sp.reshape(ncy, s_y, ncx, s_x).transpose(0, 2, 1, 3)
+    cells = cells.reshape(ncy * ncx, s_y * s_x)
+
+    threshold = jnp.asarray(threshold, jnp.float32)
+    # low-corner fallback: halve the threshold (round like the reference's
+    # int(t * 0.5 + 0.5)) if the *capped* total would fall below the bar
+    count_at = lambda t: jnp.sum(
+        jnp.minimum(jnp.sum(cells > t, axis=1), max_per_cell)
+    )
+    t_low = jnp.floor(threshold * 0.5 + 0.5)
+    use_low = count_at(threshold) < corners_low_threshold
+    t_eff = jnp.where(use_low, t_low, threshold)
+
+    top_scores, flat_idx = jax.lax.top_k(cells, max_per_cell)  # [ncells, k]
+    valid = top_scores > t_eff
+
+    cell_ids = jnp.arange(ncy * ncx)[:, None]
+    cy = cell_ids // ncx
+    cx = cell_ids % ncx
+    y = cy * s_y + flat_idx // s_x
+    x = cx * s_x + flat_idx % s_x
+
+    kp = jnp.stack([x, y], axis=-1).reshape(-1, 2).astype(jnp.float32)
+    score_out = top_scores.reshape(-1)
+    valid = valid.reshape(-1)
+    return Detections(
+        kp=kp,
+        score=score_out,
+        valid=valid,
+        count=jnp.sum(valid),
+        threshold_used=t_eff,
+    )
