@@ -1,0 +1,406 @@
+"""The jitted per-frame tracking step — the unit of execution.
+
+TPU-native re-design of the reference's per-frame pipeline
+(lvt_system::track -> perform_tracking, lvt/src/lvt_system.cpp:157-306, and
+lvt_local_map's matching/staging/triangulation calls): the whole frame —
+feature extraction, motion prediction, map matching, LM PnP, counter
+bookkeeping, culling, staged-point promotion, triangulation policy, stereo
+row-matching, triangulation and map insertion — is ONE pure function
+
+    track_step(state, frame) -> (state', pose, metrics)
+
+compiled once per (config, shapes). The reference's state machine
+(NOT_INITIALIZED / TRACKING / LOST) becomes a `lax.switch` over three
+branches with identical output pytrees; its retry/policy branches become
+masks and `where` selects (always computed, conditionally selected). The
+host<->device boundary is image-in / pose-out.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lvt_tpu.config import MATCHES_WINDOW_INIT, VOConfig
+from lvt_tpu.core import extract
+from lvt_tpu.core import map as map_ops
+from lvt_tpu.core.features import FrameFeatures
+from lvt_tpu.core.motion import predict_next_pose
+from lvt_tpu.core.state import (
+    LOST,
+    NOT_INITIALIZED,
+    TRACKING,
+    PointStore,
+    StepMetrics,
+    VOState,
+)
+from lvt_tpu.geometry import se3
+from lvt_tpu.geometry.se3 import Pose
+from lvt_tpu.ops import hamming, matching, triangulate
+from lvt_tpu.solver.pnp import solve_pnp
+
+
+def _select(pred, a, b):
+    """Elementwise pytree select on a scalar predicate."""
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
+    """Visible pixel bounds; for distorted RGB-D input these are the
+    undistorted corners (computed host-side, lvt_local_map.cpp:87-122)."""
+    from lvt_tpu.ops.undistort import undistorted_image_bounds
+
+    return undistorted_image_bounds(
+        config.img_width, config.img_height,
+        config.fx, config.fy, config.cx, config.cy,
+        config.k1, config.k2, config.p1, config.p2, config.k3,
+    )
+
+
+def _camera_kwargs(config: VOConfig) -> dict:
+    min_x, max_x, min_y, max_y = _image_bounds(config)
+    return dict(
+        fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+        near=config.near_plane_distance, far=config.far_plane_distance,
+        min_x=min_x, max_x=max_x, min_y=min_y, max_y=max_y,
+    )
+
+
+def _triangulate_new_points(
+    left: FrameFeatures,
+    right: FrameFeatures | None,
+    feature_matched: jnp.ndarray,
+    pose: Pose,
+    config: VOConfig,
+    rgbd: bool,
+):
+    """Row-match + triangulate (stereo) or backproject (RGB-D).
+
+    Returns (points_world [K,3], desc [K,W], valid [K]).
+    Note the RGB-D path backprojects *every* depth-valid feature, matched or
+    not, exactly like the reference (lvt_local_map.cpp:231-256 has no
+    matched-mark check) — duplicates are culled by the untracked counter.
+    """
+    cam = _camera_kwargs(config)
+    if rgbd:
+        res = triangulate.backproject_rgbd(
+            left.kp, left.depth, left.valid, pose,
+            fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+        )
+        return res.points_world, left.desc, res.valid
+    rm = matching.row_match(
+        left, right, feature_matched,
+        vertical_search_radius=config.row_matching_vertical_search_radius,
+        ratio_threshold=config.triangulation_ratio_test_threshold,
+        abs_threshold=config.descriptor_matching_threshold,
+        img_rows=config.img_height,
+    )
+    k = left.kp.shape[0]
+    uv_right = right.kp[jnp.clip(rm.right_idx, 0, k - 1)]
+    res = triangulate.triangulate_stereo(
+        left.kp, uv_right, rm.left_matched, pose,
+        baseline=config.baseline,
+        reprojection_th2=config.reprojection_th2,
+        **cam,
+    )
+    return res.points_world, left.desc, res.valid
+
+
+def _policy_need_triangulation(
+    config: VOConfig, window: jnp.ndarray, map_size: jnp.ndarray
+) -> jnp.ndarray:
+    """Triangulation policies (lvt_system.cpp:313-334). `window` is
+    oldest-first [3] float32 including the current frame's match count."""
+    if config.triangulation_policy == 2:  # always triangulate
+        return jnp.asarray(True)
+    if config.triangulation_policy == 3:  # map size
+        return map_size < 1000
+    # decreasing matches: every newer count must be <= 0.99 * previous
+    ratio = jnp.float32(0.99)
+    ok01 = window[1] <= ratio * window[0]
+    ok12 = window[2] <= ratio * window[1]
+    return ok01 & ok12
+
+
+def _init_branch(
+    state: VOState,
+    left: FrameFeatures,
+    right: FrameFeatures | None,
+    config: VOConfig,
+    rgbd: bool,
+):
+    """First frame: triangulate everything into the map at identity, the
+    world frame anchor (lvt_system.cpp:185-193)."""
+    identity = Pose.identity()
+    no_excl = jnp.zeros((left.kp.shape[0],), bool)
+    pts, desc, valid = _triangulate_new_points(
+        left, right, no_excl, identity, config, rgbd
+    )
+    ins = map_ops.insert_points(state.map, pts, desc, valid)
+    map_size = ins.store.size()
+    window = jnp.stack(
+        [map_size.astype(jnp.float32),
+         jnp.float32(MATCHES_WINDOW_INIT), jnp.float32(MATCHES_WINDOW_INIT)]
+    )
+    new_state = state._replace(
+        map=ins.store,
+        pose=identity,
+        last_matches=window,
+        frame_number=state.frame_number + 1,
+        status=jnp.asarray(TRACKING, jnp.int32),
+    )
+    metrics = StepMetrics.zero()._replace(
+        map_points_count=map_size.astype(jnp.int32),
+        image_keypoints=left.count().astype(jnp.int32),
+        triangulated_points=ins.n_inserted.astype(jnp.int32),
+        status=jnp.asarray(TRACKING, jnp.int32),
+    )
+    return new_state, identity, metrics
+
+
+def _staged_update(
+    staged: PointStore,
+    pose: Pose,
+    feats: FrameFeatures,
+    feature_matched: jnp.ndarray,
+    map_size: jnp.ndarray,
+    config: VOConfig,
+):
+    """Re-match staged points against the remaining unmatched features;
+    delete misses, promote survivors (lvt_local_map.cpp:355-391).
+
+    Returns (staged', promotion candidates for map insertion, feature marks).
+    Promoted points carry their staging counter into the map — faithfully
+    reproducing the reference, which copies the whole lvt_map_point on
+    promotion, counter included (:371-376).
+    """
+    cam = _camera_kwargs(config)
+    k = feats.kp.shape[0]
+    w2c = se3.world_to_camera(pose)
+    pts_cam = se3.transform_points(w2c, staged.pos)
+    uv = se3.project_points(pts_cam, config.fx, config.fy, config.cx, config.cy)
+    visible = staged.valid & se3.visibility_mask(
+        pts_cam, uv, cam["near"], cam["far"],
+        cam["min_x"], cam["max_x"], cam["min_y"], cam["max_y"],
+    )
+    dist = hamming.hamming_matrix(staged.desc, feats.desc)
+    diff = feats.kp[None, :, :] - uv[:, None, :]
+    dr2 = jnp.sum(diff * diff, axis=-1)
+    cand = (
+        visible[:, None]
+        & feats.valid[None, :]
+        & jnp.logical_not(feature_matched)[None, :]
+        & (dr2 < jnp.float32(config.tracking_radius) ** 2)
+    )
+    d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
+    idx = hamming.accept_matches(
+        d1, d2, best, n_cand,
+        config.tracking_ratio_test_threshold,
+        config.descriptor_matching_threshold,
+    )
+    idx = hamming.resolve_one_to_one(idx, d1, k)
+    matched = idx >= 0
+
+    new_marks = jnp.zeros((k + 1,), bool).at[
+        jnp.where(matched, idx, k)
+    ].set(True)[:k]
+    feature_matched = feature_matched | new_marks
+
+    ctr_next = staged.counter + 1
+    promote = staged.valid & matched & (
+        (ctr_next == config.staged_threshold) | (map_size < config.map_soft_cap)
+    )
+    remain = staged.valid & matched & jnp.logical_not(promote)
+    staged_out = staged._replace(
+        counter=jnp.where(matched, ctr_next, staged.counter),
+        valid=remain,
+    )
+    promo = (staged.pos, staged.desc, jnp.where(matched, ctr_next, staged.counter),
+             staged.age, promote)
+    return staged_out, promo, feature_matched
+
+
+def _track_branch(
+    state: VOState,
+    left: FrameFeatures,
+    right: FrameFeatures | None,
+    config: VOConfig,
+    rgbd: bool,
+):
+    """Normal tracking frame (perform_tracking, lvt_system.cpp:252-306)."""
+    cam = _camera_kwargs(config)
+    k = left.kp.shape[0]
+
+    # motion prediction mutates velocity state regardless of the outcome
+    # (lvt_motion_model.cpp:42-65 updates on every call)
+    motion, predicted = predict_next_pose(state.motion, state.pose)
+
+    mm = matching.find_map_matches(
+        state.map.pos, state.map.desc, state.map.valid, predicted, left,
+        tracking_radius=config.tracking_radius,
+        ratio_threshold=config.tracking_ratio_test_threshold,
+        abs_threshold=config.descriptor_matching_threshold,
+        retry_min_matches=config.n_matches_threshold,
+        **cam,
+    )
+    matches_count = mm.matches_count
+    is_tracking = matches_count >= config.min_num_matches_for_tracking
+
+    # --- PnP on the matched 2D-3D pairs
+    obs = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
+    weights = (mm.match_idx >= 0).astype(jnp.float32)
+    pnp = solve_pnp(
+        predicted, state.map.pos, obs, weights,
+        fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+        reprojection_th2=config.reprojection_th2,
+    )
+    pose_opt = pnp.pose
+
+    # --- bookkeeping (applies even when tracking fails: the reference's
+    # find_matches already mutated counters before the early return)
+    map_bookkept = map_ops.apply_match_bookkeeping(state.map, mm.match_idx)
+
+    # --- full update path (only selected when tracking holds)
+    map_clean, feature_matched = map_ops.clean_untracked(
+        map_bookkept, mm.match_idx, mm.feature_matched,
+        config.untracked_threshold,
+    )
+    map_size = map_clean.size()
+
+    if config.staged_threshold > 0:
+        staged_out, promo, feature_matched = _staged_update(
+            state.staged, pose_opt, left, feature_matched, map_size, config
+        )
+        p_pos, p_desc, p_ctr, p_age, p_mask = promo
+        ins_promo = map_ops.insert_points(
+            map_clean, p_pos, p_desc, p_mask, new_counter=p_ctr, new_age=p_age
+        )
+        map_after_promo = ins_promo.store
+    else:
+        staged_out = state.staged
+        map_after_promo = map_clean
+
+    # --- triangulation policy + new points
+    window = jnp.concatenate(
+        [state.last_matches[1:], matches_count[None].astype(jnp.float32)]
+    )
+    need_tri = _policy_need_triangulation(config, window, map_after_promo.size())
+
+    pts, desc, tri_valid = _triangulate_new_points(
+        left, right, feature_matched, pose_opt, config, rgbd
+    )
+    tri_valid = tri_valid & need_tri
+    # destination: map directly if staging disabled or map below soft cap,
+    # else the staging buffer (lvt_local_map.cpp:343-352)
+    to_map = (config.staged_threshold == 0) | (
+        map_after_promo.size() < config.map_soft_cap
+    )
+    ins_map = map_ops.insert_points(map_after_promo, pts, desc, tri_valid & to_map)
+    ins_staged = map_ops.insert_points(
+        staged_out, pts, desc, tri_valid & jnp.logical_not(to_map)
+    )
+
+    # --- select tracked vs lost outcomes
+    new_state = VOState(
+        map=_select(is_tracking, ins_map.store, map_bookkept),
+        staged=_select(is_tracking, ins_staged.store, state.staged),
+        pose=_select(is_tracking, pose_opt, state.pose),
+        motion=motion,
+        last_matches=_select(is_tracking, window, state.last_matches),
+        frame_number=state.frame_number + 1,
+        status=jnp.where(is_tracking, TRACKING, LOST).astype(jnp.int32),
+    )
+    out_pose = _select(is_tracking, pose_opt, state.pose)
+
+    matched_mask = mm.match_idx >= 0
+    n_matched = jnp.maximum(matches_count, 1)
+    mean_of = lambda v: jnp.sum(jnp.where(matched_mask, v, 0.0)) / n_matched
+    metrics = StepMetrics(
+        map_points_count=state.map.size().astype(jnp.int32),
+        staged_points_count=state.staged.size().astype(jnp.int32),
+        image_keypoints=left.count().astype(jnp.int32),
+        tracked_map_points=matches_count.astype(jnp.int32),
+        mean_age=mean_of(map_bookkept.age.astype(jnp.float32)),
+        mean_closest_descriptor_distance=mean_of(mm.d1),
+        mean_second_descriptor_distance=mean_of(mm.d2),
+        mean_feature_x=mean_of(obs[:, 0]),
+        mean_feature_y=mean_of(obs[:, 1]),
+        inlier_count=pnp.inlier_count.astype(jnp.int32),
+        triangulated_points=jnp.where(
+            is_tracking, ins_map.n_inserted + ins_staged.n_inserted, 0
+        ).astype(jnp.int32),
+        used_wide_radius=mm.used_wide_radius,
+        status=new_state.status,
+    )
+    return new_state, out_pose, metrics
+
+
+def _lost_branch(state: VOState):
+    """Track called while lost: return last pose (lvt_system.cpp:161-166)."""
+    new_state = state._replace(frame_number=state.frame_number + 1)
+    metrics = StepMetrics.zero()._replace(
+        map_points_count=state.map.size().astype(jnp.int32),
+        status=jnp.asarray(LOST, jnp.int32),
+    )
+    return new_state, state.pose, metrics
+
+
+def track_features(
+    state: VOState,
+    left: FrameFeatures,
+    right: FrameFeatures | None,
+    config: VOConfig,
+    rgbd: bool,
+):
+    """Status dispatch over already-extracted features."""
+    branches = [
+        lambda: _init_branch(state, left, right, config, rgbd),
+        lambda: _track_branch(state, left, right, config, rgbd),
+        lambda: _lost_branch(state),
+    ]
+    return jax.lax.switch(
+        jnp.clip(state.status, NOT_INITIALIZED, LOST) - NOT_INITIALIZED,
+        branches,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_step_stereo(
+    state: VOState, img_left: jnp.ndarray, img_right: jnp.ndarray,
+    config: VOConfig,
+):
+    """Full stereo frame: extraction + tracking, one compiled program."""
+    left, right = extract.extract_features_stereo(img_left, img_right, config)
+    return track_features(state, left, right, config, rgbd=False)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_step_rgbd(
+    state: VOState, img_gray: jnp.ndarray, img_depth: jnp.ndarray,
+    config: VOConfig,
+):
+    """Full RGB-D frame (lvt_system.cpp:176-181 + rgbd paths)."""
+    left = extract.extract_features_rgbd(img_gray, img_depth, config)
+    return track_features(state, left, None, config, rgbd=True)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_step_external_corners(
+    state: VOState,
+    img_left: jnp.ndarray, img_right: jnp.ndarray,
+    corners_left: jnp.ndarray, corners_left_valid: jnp.ndarray,
+    corners_right: jnp.ndarray, corners_right_valid: jnp.ndarray,
+    config: VOConfig,
+):
+    """Descriptors-only path with caller-supplied corners
+    (track_with_external_corners, lvt_system.cpp:209-250)."""
+    left = extract.describe_external_corners(
+        img_left, corners_left, corners_left_valid, config
+    )
+    right = extract.describe_external_corners(
+        img_right, corners_right, corners_right_valid, config
+    )
+    return track_features(state, left, right, config, rgbd=False)

@@ -115,8 +115,30 @@ def _cell_geometry(h: int, w: int, cell_size: int) -> tuple[int, int, int, int]:
     return s_y, s_x, ncy, ncx
 
 
+def _subpixel_refine(score_raw: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Quadratic (parabola) interpolation of the corner position from the
+    raw score map. The reference's AGAST corners are integer pixels; this is
+    a deliberate accuracy improvement — sub-pixel observations sharpen both
+    triangulated depth (disparities can be < 1px at range) and PnP."""
+    h, w = score_raw.shape
+    xc = jnp.clip(x, 1, w - 2)
+    yc = jnp.clip(y, 1, h - 2)
+    sc = score_raw[yc, xc]
+
+    def offset(sm, s0, sp):
+        denom = sm - 2.0 * s0 + sp
+        off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+
+    dx = offset(score_raw[yc, xc - 1], sc, score_raw[yc, xc + 1])
+    dy = offset(score_raw[yc - 1, xc], sc, score_raw[yc + 1, xc])
+    return x.astype(jnp.float32) + dx, y.astype(jnp.float32) + dy
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cell_size", "max_per_cell", "corners_low_threshold")
+    jax.jit,
+    static_argnames=("cell_size", "max_per_cell", "corners_low_threshold",
+                     "subpixel"),
 )
 def detect_corners(
     img: jnp.ndarray,
@@ -125,6 +147,7 @@ def detect_corners(
     cell_size: int,
     max_per_cell: int,
     corners_low_threshold: int = 200,
+    subpixel: bool = True,
 ) -> Detections:
     """Full detection: score map -> NMS -> adaptive threshold -> cell top-k.
 
@@ -135,7 +158,8 @@ def detect_corners(
     h, w = img.shape
     s_y, s_x, ncy, ncx = _cell_geometry(h, w, cell_size)
 
-    score = nms3x3(fast_score_map(img))
+    score_raw = fast_score_map(img)
+    score = nms3x3(score_raw)
 
     # pad to the cell grid and reshape to [ncells, cellpix]
     pad_y, pad_x = ncy * s_y - h, ncx * s_x - w
@@ -159,10 +183,15 @@ def detect_corners(
     cell_ids = jnp.arange(ncy * ncx)[:, None]
     cy = cell_ids // ncx
     cx = cell_ids % ncx
-    y = cy * s_y + flat_idx // s_x
-    x = cx * s_x + flat_idx % s_x
+    y = (cy * s_y + flat_idx // s_x).reshape(-1)
+    x = (cx * s_x + flat_idx % s_x).reshape(-1)
 
-    kp = jnp.stack([x, y], axis=-1).reshape(-1, 2).astype(jnp.float32)
+    if subpixel:
+        xf, yf = _subpixel_refine(score_raw, jnp.minimum(x, w - 1),
+                                  jnp.minimum(y, h - 1))
+    else:
+        xf, yf = x.astype(jnp.float32), y.astype(jnp.float32)
+    kp = jnp.stack([xf, yf], axis=-1)
     score_out = top_scores.reshape(-1)
     valid = valid.reshape(-1)
     return Detections(
