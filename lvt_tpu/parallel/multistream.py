@@ -1,0 +1,125 @@
+"""Multi-stream VO: vmapped track steps sharded over the device mesh.
+
+This is the scale-out story of the framework (BASELINE.json configs 4-5;
+SURVEY.md section 2 parallelism inventory): N independent camera streams become a
+batch axis of the same jitted step (`vmap`), the batch shards across chips
+with NamedSharding over the `stream` mesh axis, and per-stream LOST flags
+live in the batched VOState so one lost stream never stalls the rest —
+"reset" re-initializes just that stream's slice.
+
+The reference is single-stream by construction; this component has no
+counterpart there and is specified by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lvt_tpu.config import VOConfig
+from lvt_tpu.core import step as step_mod
+from lvt_tpu.core.state import VOState
+from lvt_tpu.geometry.se3 import Pose
+from lvt_tpu.parallel import mesh as mesh_mod
+
+
+def batched_initial_state(config: VOConfig, n_streams: int) -> VOState:
+    base = VOState.initial(config.max_map_points, config.max_staged_points)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), base
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def multistream_step_stereo(
+    states: VOState,       # batched [S, ...]
+    imgs_left: jnp.ndarray,   # [S, H, W]
+    imgs_right: jnp.ndarray,  # [S, H, W]
+    config: VOConfig,
+):
+    """One frame for every stream. Under vmap the per-stream state machine
+    (lax.switch) lowers to compute-all-branches + select — the TPU-friendly
+    trade of deterministic compute for branchless batching."""
+    return jax.vmap(
+        lambda s, a, b: step_mod.track_step_stereo(s, a, b, config)
+    )(states, imgs_left, imgs_right)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def multistream_step_rgbd(
+    states: VOState, imgs_gray: jnp.ndarray, imgs_depth: jnp.ndarray,
+    config: VOConfig,
+):
+    return jax.vmap(
+        lambda s, a, b: step_mod.track_step_rgbd(s, a, b, config)
+    )(states, imgs_gray, imgs_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def reset_lost_streams(states: VOState, config: VOConfig) -> VOState:
+    """Per-stream auto-reset: any stream in LOST state is re-initialized in
+    place (the batched analogue of the ROS shell's reset-on-lost policy,
+    lvt_ros.cpp:241-254). The accumulated pose is preserved — matching
+    m_reset_pose_on_lost_vo == false — so odometry continues from where
+    tracking was lost."""
+    from lvt_tpu.core.state import LOST
+
+    fresh = batched_initial_state(config, states.status.shape[0])
+    lost = states.status == LOST
+
+    def sel(new, old):
+        cond = lost.reshape(lost.shape + (1,) * (old.ndim - 1))
+        return jnp.where(cond, new, old)
+
+    out = jax.tree.map(sel, fresh, states)
+    # keep the last pose (world anchor shifts to it on re-init)
+    return out._replace(pose=states.pose)
+
+
+class MultiStreamVO:
+    """Driver for a sharded batch of concurrent VO streams."""
+
+    def __init__(self, config: VOConfig, n_streams: int, mesh=None,
+                 auto_reset: bool = True):
+        config.validate()
+        self.config = config
+        self.n_streams = n_streams
+        if mesh is None:
+            # use the largest device count that divides the stream batch
+            devs = jax.devices()
+            n_dev = len(devs)
+            while n_streams % n_dev:
+                n_dev -= 1
+            mesh = mesh_mod.stream_mesh(devs[:n_dev])
+        self.mesh = mesh
+        self.auto_reset = auto_reset
+        sharding = mesh_mod.stream_sharding(self.mesh)
+        self.state_sharding = jax.tree.map(
+            lambda _: sharding, batched_initial_state(config, n_streams)
+        )
+        self.states = jax.device_put(
+            batched_initial_state(config, n_streams), sharding
+        )
+        self.image_sharding = sharding
+
+    def track(self, imgs_left: np.ndarray, imgs_right: np.ndarray):
+        """imgs_*: [S, H, W]. Returns (poses: Pose[S], metrics)."""
+        il = jax.device_put(
+            jnp.asarray(imgs_left, jnp.float32), self.image_sharding
+        )
+        ir = jax.device_put(
+            jnp.asarray(imgs_right, jnp.float32), self.image_sharding
+        )
+        self.states, poses, metrics = multistream_step_stereo(
+            self.states, il, ir, self.config
+        )
+        if self.auto_reset:
+            self.states = reset_lost_streams(self.states, self.config)
+        return poses, metrics
+
+    @property
+    def status(self) -> np.ndarray:
+        return np.asarray(self.states.status)
