@@ -1,0 +1,71 @@
+"""Headline benchmark: frames/sec/chip on KITTI-geometry stereo VO.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Runs the full jitted track step (detection + BRIEF + row/map matching + LM
+PnP + map maintenance) on a synthetic KITTI-sized stereo sequence (no dataset
+access in this environment; the synthetic world exercises the identical
+compute path — see lvt_tpu/io/synthetic.py).
+
+Baseline: the reference C++ LVT cannot be built here (g2o/OpenCV-C++ absent;
+zero egress). BASELINE.md records the stand-in: the Sensors 2018 paper and
+the kitti_example driver describe real-time operation around ~70 fps on a
+desktop CPU; vs_baseline is measured fps / 70.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 70.0
+CHUNK = 16
+N_CHUNKS = 3
+
+
+def main():
+    import jax
+
+    from lvt_tpu.core.system import VOSystem
+    from lvt_tpu.io.synthetic import SyntheticWorld
+    from __graft_entry__ import _kitti_config
+
+    config = _kitti_config()
+    world = SyntheticWorld(
+        width=config.img_width, height=config.img_height,
+        fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+        baseline=config.baseline, n_points=6000,
+        extent_x=80.0, extent_y=20.0, extent_z=160.0,
+    )
+    n_frames = CHUNK * (N_CHUNKS + 1)
+    frames = [
+        (l.astype(np.uint8), r.astype(np.uint8))
+        for l, r, _ in world.stereo_sequence(n_frames, speed=0.9)
+    ]
+    il = np.stack([f[0] for f in frames])
+    ir = np.stack([f[1] for f in frames])
+
+    # offline/batch mode: chunks of frames scanned on device in one dispatch
+    vo = VOSystem(config)
+    poses, _ = vo.track_chunk(il[:CHUNK], ir[:CHUNK])  # warmup: compiles
+    jax.block_until_ready(poses.t)
+
+    t0 = time.perf_counter()
+    for c in range(1, N_CHUNKS + 1):
+        poses, _ = vo.track_chunk(
+            il[c * CHUNK : (c + 1) * CHUNK], ir[c * CHUNK : (c + 1) * CHUNK]
+        )
+    jax.block_until_ready(poses.t)
+    dt = time.perf_counter() - t0
+
+    fps = (N_CHUNKS * CHUNK) / dt
+    print(json.dumps({
+        "metric": "frames/sec/chip (KITTI-geometry stereo VO, synthetic world)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

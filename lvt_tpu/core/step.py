@@ -367,14 +367,23 @@ def track_features(
     )
 
 
+def _track_frame_stereo(state, img_left, img_right, config):
+    left, right = extract.extract_features_stereo(img_left, img_right, config)
+    return track_features(state, left, right, config, rgbd=False)
+
+
+def _track_frame_rgbd(state, img_gray, img_depth, config):
+    left = extract.extract_features_rgbd(img_gray, img_depth, config)
+    return track_features(state, left, None, config, rgbd=True)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def track_step_stereo(
     state: VOState, img_left: jnp.ndarray, img_right: jnp.ndarray,
     config: VOConfig,
 ):
     """Full stereo frame: extraction + tracking, one compiled program."""
-    left, right = extract.extract_features_stereo(img_left, img_right, config)
-    return track_features(state, left, right, config, rgbd=False)
+    return _track_frame_stereo(state, img_left, img_right, config)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -383,8 +392,52 @@ def track_step_rgbd(
     config: VOConfig,
 ):
     """Full RGB-D frame (lvt_system.cpp:176-181 + rgbd paths)."""
-    left = extract.extract_features_rgbd(img_gray, img_depth, config)
-    return track_features(state, left, None, config, rgbd=True)
+    return _track_frame_rgbd(state, img_gray, img_depth, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_chunk_stereo(
+    state: VOState,
+    imgs_left: jnp.ndarray,   # [N, H, W] (uint8 or float32)
+    imgs_right: jnp.ndarray,  # [N, H, W]
+    config: VOConfig,
+):
+    """Scan the track step over a chunk of N frames entirely on device.
+
+    The online mode (track_step_stereo) pays one host dispatch per frame; for
+    offline/batch processing (dataset runs, benchmarking) this amortizes it
+    to one dispatch per chunk — frames go up as one batch, the VOState never
+    leaves the device between frames, and N poses come back together.
+    Returns (state, poses [N], metrics [N]).
+    """
+
+    def body(s, frame):
+        il, ir = frame
+        s2, pose, metrics = _track_frame_stereo(
+            s, il.astype(jnp.float32), ir.astype(jnp.float32), config
+        )
+        return s2, (pose, metrics)
+
+    state, (poses, metrics) = jax.lax.scan(body, state, (imgs_left, imgs_right))
+    return state, poses, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_chunk_rgbd(
+    state: VOState,
+    imgs_gray: jnp.ndarray,   # [N, H, W]
+    imgs_depth: jnp.ndarray,  # [N, H, W] float32 metric depth
+    config: VOConfig,
+):
+    def body(s, frame):
+        g, d = frame
+        s2, pose, metrics = _track_frame_rgbd(
+            s, g.astype(jnp.float32), d, config
+        )
+        return s2, (pose, metrics)
+
+    state, (poses, metrics) = jax.lax.scan(body, state, (imgs_gray, imgs_depth))
+    return state, poses, metrics
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -144,6 +144,36 @@ class VOSystem:
         )
         return self._finish(out)
 
+    def track_chunk(self, imgs1, imgs2):
+        """Offline/batch mode: process a chunk of N frames in ONE device
+        dispatch (lax.scan inside the jit). Semantically identical to N
+        `track` calls; returns (poses, metrics) with a leading N axis.
+
+        This is the TPU-native high-throughput path: the per-frame host
+        round-trip of the online mode disappears and the VOState stays on
+        device across the whole chunk."""
+        a = jnp.asarray(imgs1)
+        b = jnp.asarray(
+            imgs2, jnp.float32 if self.sensor_type == SensorType.RGBD else None
+        )
+        assert a.ndim == 3 and b.shape == a.shape if self.sensor_type == SensorType.STEREO else True
+        if self.sensor_type == SensorType.STEREO:
+            self.state, poses, metrics = step_mod.track_chunk_stereo(
+                self.state, a, b, self.config
+            )
+        else:
+            self.state, poses, metrics = step_mod.track_chunk_rgbd(
+                self.state, a, b, self.config
+            )
+        self.last_metrics = jax.tree.map(lambda x: x[-1], metrics)
+        if self.metrics_recorder is not None:
+            n = a.shape[0]
+            for i in range(n):
+                self.metrics_recorder.record_step(
+                    jax.tree.map(lambda x: x[i], metrics)
+                )
+        return poses, metrics
+
     # -- checkpoint / resume -------------------------------------------
     def save_checkpoint(self, path: str) -> None:
         """Snapshot the full VOState (a pytree) to disk. The reference has
