@@ -217,10 +217,7 @@ class TumRgbdSequence:
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Yields (grayscale uint8, metric depth float32)."""
         for _, rgb_rel, depth_rel in self.entries:
-            rgb = imread_raw(os.path.join(self.dir, rgb_rel))
-            if rgb.ndim == 3:
-                rgb = (0.114 * rgb[..., 0] + 0.587 * rgb[..., 1]
-                       + 0.299 * rgb[..., 2]).astype(np.uint8)  # BGR weights
+            rgb = imread_gray(os.path.join(self.dir, rgb_rel))
             depth_raw = imread_raw(os.path.join(self.dir, depth_rel))
             depth = depth_raw.astype(np.float32) * TUM_DEPTH_SCALE
             yield rgb, depth
