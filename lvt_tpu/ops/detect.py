@@ -177,7 +177,12 @@ def detect_corners(
     use_low = count_at(threshold) < corners_low_threshold
     t_eff = jnp.where(use_low, t_low, threshold)
 
-    top_scores, flat_idx = jax.lax.top_k(cells, max_per_cell)  # [ncells, k]
+    # TPU-optimized approximate top-k (recall ~0.95) instead of the exact
+    # sort-based lax.top_k: cells are ~62k pixels wide and the full bitonic
+    # sort dominated the step profile. Corner *selection* tolerates
+    # approximation by construction (the reference's ANMS picks a different
+    # subset than top-k anyway; parity is judged at trajectory level).
+    top_scores, flat_idx = jax.lax.approx_max_k(cells, max_per_cell)
     valid = top_scores > t_eff
 
     cell_ids = jnp.arange(ncy * ncx)[:, None]

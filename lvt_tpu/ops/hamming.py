@@ -46,12 +46,17 @@ def masked_top2(
 
     dist: [Q, K] float or int, cand_mask: [Q, K] bool.
     Returns (d1, d2, best_idx, n_cand) each [Q].
+
+    Implemented as two min-reductions instead of lax.top_k — a k=2 selection
+    does not need the full bitonic sort XLA lowers top_k to on TPU; argmin +
+    one-hot mask + second min is pure VPU work.
     """
     d = jnp.where(cand_mask, dist.astype(jnp.float32), BIG)
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    d1 = -neg2[..., 0]
-    d2 = -neg2[..., 1]
-    best = idx2[..., 0]
+    d1 = jnp.min(d, axis=-1)
+    best = jnp.argmin(d, axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    is_best = col == best[..., None]
+    d2 = jnp.min(jnp.where(is_best, BIG, d), axis=-1)
     n_cand = jnp.sum(cand_mask, axis=-1)
     return d1, d2, best, n_cand
 
