@@ -1,0 +1,33 @@
+"""Visualization artifact generation (host-side, smoke tests)."""
+
+import os
+
+import numpy as np
+
+from lvt_tpu import viz
+from lvt_tpu.core.system import VOSystem
+from tests.test_end_to_end import make_config, make_world
+
+
+def test_draw_features(tmp_path, rng):
+    img = rng.uniform(0, 255, (120, 160))
+    kp = np.stack([rng.uniform(0, 160, 30), rng.uniform(0, 120, 30)], -1)
+    valid = np.ones(30, bool)
+    age = rng.randint(-1, 15, 30)
+    p = viz.draw_features(img, kp, valid, age,
+                          out_path=str(tmp_path / "f.png"))
+    assert os.path.getsize(p) > 1000
+
+
+def test_draw_map_and_trajectory(tmp_path):
+    world = make_world()
+    vo = VOSystem(make_config(world))
+    traj = []
+    for img_l, img_r, (r, t) in world.stereo_sequence(4, speed=0.4):
+        pose = vo.track(img_l, img_r)
+        traj.append(np.asarray(pose.t))
+    p = viz.draw_map(vo.state, np.array(traj), out_path=str(tmp_path / "m.png"))
+    assert os.path.getsize(p) > 1000
+    p2 = viz.plot_trajectories({"est": np.array(traj)},
+                               out_path=str(tmp_path / "t.png"))
+    assert os.path.getsize(p2) > 1000
