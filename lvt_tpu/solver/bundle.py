@@ -256,9 +256,18 @@ def refine_window(
     state = jax.lax.fori_loop(0, iterations, lambda _, s: iteration(s), state)
 
     n_obs = sum(jnp.sum(w_b > 0) for _, w_b, _ in blocks)
+    poses_out = _w2c_to_poses(state.r_wc, state.t_wc)
+    chi2_out = state.chi2
+    if psum_axis:
+        # pose/chi2 are numerically replicated across the point shards but
+        # typed "varying"; a pmax (identity on replicated values) restores
+        # the replicated/invariant type for shard_map out_specs
+        unvary = lambda x: jax.lax.pmax(x, psum_axis)
+        poses_out = jax.tree.map(unvary, poses_out)
+        chi2_out = unvary(chi2_out)
     return BAResult(
-        poses=_w2c_to_poses(state.r_wc, state.t_wc),
+        poses=poses_out,
         points=state.points,
-        chi2=state.chi2,
+        chi2=chi2_out,
         n_obs=psum(n_obs),
     )

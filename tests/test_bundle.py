@@ -8,7 +8,7 @@ import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lvt_tpu.geometry.se3 import Pose
-from lvt_tpu.solver.bundle import refine_window
+from lvt_tpu.solver.bundle import BAResult, refine_window
 
 FX = FY = 500.0
 CX, CY = 320.0, 240.0
@@ -135,7 +135,7 @@ def test_sharded_matches_unsharded(rng):
     got = jax.jit(jax.shard_map(
         run, mesh=mesh,
         in_specs=(P("points"), shard, shard, shard),
-        out_specs=(P(), P("points"), P(), P()),
+        out_specs=BAResult(poses=P(), points=P("points"), chi2=P(), n_obs=P()),
     ))(pts_n, obs, obs_r, w)
 
     np.testing.assert_allclose(np.asarray(got.poses.t),
