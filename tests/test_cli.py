@@ -1,0 +1,107 @@
+"""CLI drivers end-to-end on synthetic datasets written in the real
+directory layouts (KITTI sequences/, TUM rgb/depth + association)."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from lvt_tpu.cli import main
+from lvt_tpu.io.synthetic import SyntheticWorld
+from lvt_tpu.io.trajectory import ate_rmse_aligned, load_kitti, load_tum
+
+
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    """Tiny synthetic stereo sequence in KITTI layout + calib/config."""
+    root = tmp_path_factory.mktemp("kitti")
+    world = SyntheticWorld(width=320, height=240, fx=260.0, fy=260.0,
+                           cx=160.0, cy=120.0, baseline=0.3, n_points=1500,
+                           extent_x=40.0, extent_y=18.0, extent_z=90.0)
+    seq = root / "sequences" / "03"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    gt = []
+    for i, (l, r, (rot, t)) in enumerate(world.stereo_sequence(10, speed=0.5)):
+        cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), l.astype(np.uint8))
+        cv2.imwrite(str(seq / "image_1" / f"{i:06d}.png"), r.astype(np.uint8))
+        gt.append(t)
+    calib = root / "calib_03.yaml"
+    calib.write_text(
+        "camera_matrix:\n  data: [260.0, 0.0, 160.0, 0.0, 260.0, 120.0, "
+        "0.0, 0.0, 1.0]\nbaseline: 0.3\n"
+    )
+    cfg = root / "vo.yaml"
+    cfg.write_text(
+        "near_plane_distance: 0.5\nfar_plane_distance: 150.0\n"
+        "agast_threshold: 15\ndetection_cell_size: 80\n"
+        "max_keypoints_per_cell: 60\nmax_map_points: 1024\n"
+        "max_staged_points: 1024\n"
+    )
+    return root, np.array(gt)
+
+
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_kitti_cli(kitti_tree, tmp_path, chunk):
+    root, gt = kitti_tree
+    out = str(tmp_path / f"03_{chunk}.txt")
+    rc = main([
+        "kitti", "--sequences-dir", str(root / "sequences"), "--seq", "3",
+        "--calib", str(root / "calib_03.yaml"),
+        "--config", str(root / "vo.yaml"),
+        "--output", out, "--chunk", str(chunk),
+    ])
+    assert rc == 0
+    mats = load_kitti(out)
+    assert mats.shape == (10, 3, 4)
+    est = mats[:, :, 3]
+    assert ate_rmse_aligned(est, gt) < 0.3
+
+
+def test_tum_cli(tmp_path):
+    world = SyntheticWorld(width=320, height=240, fx=260.0, fy=260.0,
+                           cx=160.0, cy=120.0, n_points=1200,
+                           extent_x=40.0, extent_y=18.0, extent_z=20.0)
+    data = tmp_path / "rgbd_dataset_synthetic"
+    (data / "rgb").mkdir(parents=True)
+    (data / "depth").mkdir(parents=True)
+    assoc_lines = []
+    gt = []
+    for i, (g, d, (rot, t)) in enumerate(world.rgbd_sequence(8, speed=0.2)):
+        ts = 1000.0 + i * 0.1
+        cv2.imwrite(str(data / "rgb" / f"{ts:.6f}.png"), g.astype(np.uint8))
+        d16 = np.clip(d * 5000.0, 0, 65535).astype(np.uint16)
+        cv2.imwrite(str(data / "depth" / f"{ts:.6f}.png"), d16)
+        assoc_lines.append(
+            f"{ts:.6f} rgb/{ts:.6f}.png {ts:.6f} depth/{ts:.6f}.png"
+        )
+        gt.append(t)
+    assoc = tmp_path / "assoc.txt"
+    assoc.write_text("\n".join(assoc_lines) + "\n")
+    cfg = tmp_path / "tum.yaml"
+    cfg.write_text(
+        "fx: 260.0\nfy: 260.0\ncx: 160.0\ncy: 120.0\n"
+        "img_width: 320\nimg_height: 240\n"
+        "near_plane_distance: 0.1\nfar_plane_distance: 40.0\n"
+        "agast_threshold: 15\ndetection_cell_size: 2000\n"
+        "max_keypoints_per_cell: 400\nstaged_threshold: 0\n"
+        "triangulation_policy: 2\nmax_map_points: 4096\n"
+        "max_staged_points: 512\n"
+    )
+    out = str(tmp_path / "tum_out.txt")
+    rc = main([
+        "tum", "--dataset-dir", str(data), "--association", str(assoc),
+        "--config", str(cfg), "--output", out,
+    ])
+    assert rc == 0
+    stamps, est = load_tum(out)
+    assert len(stamps) == 8
+    assert ate_rmse_aligned(est, np.array(gt)) < 0.3
+
+
+def test_synthetic_cli(capsys):
+    rc = main(["synthetic", "--frames", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ATE RMSE" in out
