@@ -85,6 +85,12 @@ class VOConfig:
     max_staged_points: int = 1024   # hard capacity of the staging buffer
     max_keypoints: int = 0          # 0 => derived from the detection grid
 
+    # ---- local bundle adjustment (opt-in accuracy feature; the reference
+    # has no structure refinement at all — motion-only BA with fixed points)
+    local_ba_window: int = 0       # sliding-window size F (0 = disabled)
+    local_ba_every: int = 4        # run BA every N tracked frames
+    local_ba_iterations: int = 6   # LM iterations per refinement
+
     # ---- observability
     enable_logging: bool = False
     enable_metrics: bool = False

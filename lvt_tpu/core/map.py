@@ -21,6 +21,7 @@ class InsertResult(NamedTuple):
     n_inserted: jnp.ndarray
     n_dropped: jnp.ndarray  # overflow beyond capacity (reference never drops
     #                         — unbounded vectors; we surface it as a metric)
+    taken: jnp.ndarray      # [capacity] bool: slots (re)populated this call
 
 
 def insert_points(
@@ -63,7 +64,7 @@ def insert_points(
         valid=store.valid | take,
     )
     n_inserted = jnp.sum(take)
-    return InsertResult(new_store, n_inserted, n_new - n_inserted)
+    return InsertResult(new_store, n_inserted, n_new - n_inserted, take)
 
 
 def apply_match_bookkeeping(

@@ -60,6 +60,35 @@ class PointStore(NamedTuple):
         )
 
 
+class ObsWindow(NamedTuple):
+    """Sliding observation window for local bundle adjustment (opt-in;
+    no reference counterpart — the reference never refines structure).
+
+    Frame axis is oldest-first; the point axis aligns with the map's slot
+    indices, so observation history follows map points for free and is
+    invalidated when a slot is culled or recycled."""
+
+    poses_t: jnp.ndarray  # [F, 3]
+    poses_q: jnp.ndarray  # [F, 4]
+    obs: jnp.ndarray      # [F, M, 2] left-camera pixel observations
+    w: jnp.ndarray        # [F, M] observation validity 0/1
+    obs_r: jnp.ndarray    # [F, M, 2] right-camera pixel observations
+    w_r: jnp.ndarray      # [F, M] right validity (stereo pins point depth)
+    n: jnp.ndarray        # [] int32 frames accumulated (saturates at F)
+
+    @staticmethod
+    def empty(window: int, capacity: int) -> "ObsWindow":
+        return ObsWindow(
+            poses_t=jnp.zeros((window, 3), jnp.float32),
+            poses_q=jnp.tile(quat.identity()[None], (window, 1)),
+            obs=jnp.zeros((window, capacity, 2), jnp.float32),
+            w=jnp.zeros((window, capacity), jnp.float32),
+            obs_r=jnp.zeros((window, capacity, 2), jnp.float32),
+            w_r=jnp.zeros((window, capacity), jnp.float32),
+            n=jnp.asarray(0, jnp.int32),
+        )
+
+
 class VOState(NamedTuple):
     map: PointStore
     staged: PointStore
@@ -68,9 +97,11 @@ class VOState(NamedTuple):
     last_matches: jnp.ndarray  # [3] float32, oldest-first match counts
     frame_number: jnp.ndarray  # [] int32
     status: jnp.ndarray        # [] int32 (NOT_INITIALIZED/TRACKING/LOST)
+    ba: ObsWindow              # local-BA observation window ([0]-sized if off)
 
     @staticmethod
-    def initial(max_map_points: int, max_staged_points: int) -> "VOState":
+    def initial(max_map_points: int, max_staged_points: int,
+                ba_window: int = 0) -> "VOState":
         return VOState(
             map=PointStore.empty(max_map_points),
             staged=PointStore.empty(max_staged_points),
@@ -80,6 +111,7 @@ class VOState(NamedTuple):
                                   jnp.float32),
             frame_number=jnp.asarray(0, jnp.int32),
             status=jnp.asarray(NOT_INITIALIZED, jnp.int32),
+            ba=ObsWindow.empty(ba_window, max_map_points),
         )
 
 

@@ -33,6 +33,7 @@ from lvt_tpu.core.state import (
     LOST,
     NOT_INITIALIZED,
     TRACKING,
+    ObsWindow,
     PointStore,
     StepMetrics,
     VOState,
@@ -223,6 +224,82 @@ def _staged_update(
     return staged_out, promo, feature_matched
 
 
+def _local_ba_update(
+    ba: ObsWindow,
+    map_store: PointStore,
+    pose_opt: Pose,
+    obs_new: jnp.ndarray,       # [M, 2] this frame's left observation per slot
+    w_new: jnp.ndarray,         # [M] observation validity
+    obs_r_new: jnp.ndarray,     # [M, 2] right-camera observation per slot
+    w_r_new: jnp.ndarray,       # [M]
+    slots_invalidated: jnp.ndarray,  # [M] culled or recycled this frame
+    frame_number: jnp.ndarray,
+    config: VOConfig,
+):
+    """Slide the observation window and periodically run windowed BA
+    (lvt_tpu.solver.bundle) over the last F poses + map structure.
+
+    Returns (window', refined pose, refined map positions). Opt-in feature
+    with no reference counterpart. Stereo (right-camera) observations are
+    essential here: with mono observations over a short window, point depth
+    is near-unobservable and the Schur update can send points far along
+    their rays — the baseline pins depth. A relative step clamp guards the
+    writeback regardless."""
+    from lvt_tpu.solver.bundle import refine_window
+
+    f_win = config.local_ba_window
+    alive = (map_store.valid & ~slots_invalidated)[None, :].astype(jnp.float32)
+    obs = jnp.concatenate([ba.obs[1:], obs_new[None]], 0)
+    w = jnp.concatenate([ba.w[1:], w_new[None]], 0) * alive
+    obs_r = jnp.concatenate([ba.obs_r[1:], obs_r_new[None]], 0)
+    w_r = jnp.concatenate([ba.w_r[1:], w_r_new[None]], 0) * alive
+    poses_t = jnp.concatenate([ba.poses_t[1:], pose_opt.t[None]], 0)
+    poses_q = jnp.concatenate([ba.poses_q[1:], pose_opt.q[None]], 0)
+    n = jnp.minimum(ba.n + 1, f_win)
+
+    do_ba = (n >= f_win) & (frame_number % config.local_ba_every == 0)
+
+    def run(args):
+        poses_t, poses_q, obs, w, obs_r, w_r, pos = args
+        # constrain only points with >= 2 left observations AND at least one
+        # stereo pair (depth anchored)
+        n_l = jnp.sum(w > 0, axis=0)
+        n_s = jnp.sum((w > 0) & (w_r > 0), axis=0)
+        use = ((n_l >= 2) & (n_s >= 1)).astype(jnp.float32)
+        res = refine_window(
+            Pose(poses_t, poses_q), pos, obs, w * use[None, :],
+            baseline=config.baseline,
+            obs_right=obs_r, w_right=w_r * use[None, :],
+            fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+            iterations=config.local_ba_iterations,
+            reprojection_th2=config.reprojection_th2,
+            # the stereo baseline already pins scale, so a single fixed pose
+            # fully determines the gauge (fixing more anchors pose error)
+            n_fixed_poses=1,
+        )
+        # writeback with a relative trust region: a refined point may not
+        # move more than 10% of its distance to the camera (+0.5m)
+        dist = jnp.linalg.norm(pos - poses_t[-1][None, :], axis=-1)
+        step_norm = jnp.linalg.norm(res.points - pos, axis=-1)
+        ok = use > 0
+        ok &= step_norm <= 0.1 * dist + 0.5
+        return jnp.where(ok[:, None], res.points, pos)
+
+    def skip(args):
+        return args[6]
+
+    map_pos = jax.lax.cond(
+        do_ba, run, skip, (poses_t, poses_q, obs, w, obs_r, w_r, map_store.pos)
+    )
+    window = ObsWindow(poses_t=poses_t, poses_q=poses_q, obs=obs, w=w,
+                       obs_r=obs_r, w_r=w_r, n=n)
+    # structure-only writeback: refined map points sharpen future matching
+    # and PnP; the trajectory itself stays the PnP output (writing back
+    # window poses was measurably noisier on synthetic sequences because the
+    # gauge anchors to *estimated* past poses)
+    return window, Pose(poses_t[-1], poses_q[-1]), map_pos
+
+
 def _track_branch(
     state: VOState,
     left: FrameFeatures,
@@ -303,17 +380,53 @@ def _track_branch(
         staged_out, pts, desc, tri_valid & jnp.logical_not(to_map)
     )
 
+    # --- optional sliding-window local BA (structure + pose refinement)
+    final_map = ins_map.store
+    pose_final = pose_opt
+    ba_window = state.ba
+    if config.local_ba_window > 0:
+        removed = map_bookkept.valid & ~map_clean.valid
+        recycled = ins_map.taken
+        if config.staged_threshold > 0:
+            recycled = recycled | ins_promo.taken
+        obs_new = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
+        w_new = (mm.match_idx >= 0).astype(jnp.float32)
+        if rgbd or config.baseline == 0.0:
+            # no right camera: stereo anchoring unavailable, BA inert
+            obs_r_new = jnp.zeros_like(obs_new)
+            w_r_new = jnp.zeros_like(w_new)
+        else:
+            # right-camera observations of the *tracked* features: epipolar
+            # row match restricted to exactly the map-matched features
+            rm_ba = matching.row_match(
+                left, right, jnp.logical_not(mm.feature_matched),
+                vertical_search_radius=config.row_matching_vertical_search_radius,
+                ratio_threshold=config.triangulation_ratio_test_threshold,
+                abs_threshold=config.descriptor_matching_threshold,
+                img_rows=config.img_height,
+            )
+            r_idx = rm_ba.right_idx[jnp.clip(mm.match_idx, 0, k - 1)]
+            obs_r_new = right.kp[jnp.clip(r_idx, 0, k - 1)]
+            w_r_new = ((mm.match_idx >= 0) & (r_idx >= 0)).astype(jnp.float32)
+        ba_window, pose_final, refined_pos = _local_ba_update(
+            state.ba, final_map, pose_opt, obs_new, w_new,
+            obs_r_new, w_r_new,
+            removed | recycled, state.frame_number, config,
+        )
+        final_map = final_map._replace(pos=refined_pos)
+
     # --- select tracked vs lost outcomes
     new_state = VOState(
-        map=_select(is_tracking, ins_map.store, map_bookkept),
+        map=_select(is_tracking, final_map, map_bookkept),
         staged=_select(is_tracking, ins_staged.store, state.staged),
-        pose=_select(is_tracking, pose_opt, state.pose),
+        pose=_select(is_tracking, pose_final, state.pose),
         motion=motion,
         last_matches=_select(is_tracking, window, state.last_matches),
         frame_number=state.frame_number + 1,
         status=jnp.where(is_tracking, TRACKING, LOST).astype(jnp.int32),
+        ba=_select(is_tracking, ba_window, state.ba),
     )
-    out_pose = _select(is_tracking, pose_opt, state.pose)
+    out_pose = _select(is_tracking, pose_final, state.pose)
 
     matched_mask = mm.match_idx >= 0
     n_matched = jnp.maximum(matches_count, 1)

@@ -49,7 +49,8 @@ class VOSystem:
         self.sensor_type = SensorType(sensor_type)
         self.metrics_recorder = metrics_recorder
         self.state = VOState.initial(
-            config.max_map_points, config.max_staged_points
+            config.max_map_points, config.max_staged_points,
+            config.local_ba_window,
         )
         self.last_metrics: Optional[StepMetrics] = None
 
@@ -64,7 +65,8 @@ class VOSystem:
         """Clear map, motion model and state machine
         (lvt_system::reset, lvt_system.cpp:44-68)."""
         self.state = VOState.initial(
-            self.config.max_map_points, self.config.max_staged_points
+            self.config.max_map_points, self.config.max_staged_points,
+            self.config.local_ba_window,
         )
         self.last_metrics = None
         if self.metrics_recorder is not None:

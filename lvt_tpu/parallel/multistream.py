@@ -27,7 +27,8 @@ from lvt_tpu.parallel import mesh as mesh_mod
 
 
 def batched_initial_state(config: VOConfig, n_streams: int) -> VOState:
-    base = VOState.initial(config.max_map_points, config.max_staged_points)
+    base = VOState.initial(config.max_map_points, config.max_staged_points,
+                           config.local_ba_window)
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), base
     )

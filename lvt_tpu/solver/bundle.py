@@ -112,6 +112,7 @@ def refine_window(
     iterations: int = 8,
     reprojection_th2: float = 5.991,
     psum_axis: str | None = None,
+    n_fixed_poses: int = 1,
 ) -> BAResult:
     """LM-damped Schur-complement BA over an F-pose window.
 
@@ -210,10 +211,12 @@ def refine_window(
         s = s.at[jnp.arange(f_dim), jnp.arange(f_dim)].add(diag)
         g_red = g_c - psum(jnp.einsum("fmik,mk->fi", hcp_hppinv, g_p))
 
-        # gauge fix: pose 0 held fixed (identity rows/cols + zero rhs)
+        # gauge fix: the n_fixed_poses oldest poses held fixed (identity
+        # rows/cols + zero rhs); fixing >= 2 poses also anchors the scale of
+        # a monocular window
         s_flat = s.transpose(0, 2, 1, 3).reshape(6 * f_dim, 6 * f_dim)
         g_flat = g_red.reshape(6 * f_dim)
-        fix = jnp.arange(6 * f_dim) < 6
+        fix = jnp.arange(6 * f_dim) < 6 * n_fixed_poses
         s_flat = jnp.where(fix[:, None] | fix[None, :],
                            jnp.eye(6 * f_dim, dtype=dtype), s_flat)
         g_flat = jnp.where(fix, 0.0, g_flat)

@@ -166,3 +166,33 @@ class TestExternalCorners:
             assert vo.get_state() == TrackingState.TRACKING
         err = ate_rmse(np.array(est), np.array(gt))
         assert err < 0.2, err
+
+
+class TestLocalBA:
+    def test_local_ba_reduces_drift_under_noise(self):
+        """Sliding-window BA (opt-in) earns its keep on *noisy* observations,
+        where multi-view structure refinement averages out triangulation
+        error. (On noise-free synthetic data it is a wash by construction —
+        single-pair triangulations are already optimal there.)"""
+        rng = np.random.RandomState(1)
+        world = make_world(seed=5)
+        frames = [
+            (l + rng.randn(*l.shape) * 6.0, r + rng.randn(*r.shape) * 6.0, g)
+            for l, r, g in world.stereo_sequence(25, speed=0.5, yaw_rate=0.004)
+        ]
+
+        def run(cfg):
+            vo = VOSystem(cfg)
+            est = []
+            for img_l, img_r, _ in frames:
+                pose = vo.track(img_l, img_r)
+                est.append(np.asarray(pose.t))
+                assert vo.get_state() == TrackingState.TRACKING
+            return np.array(est)
+
+        gt = np.array([t for _, _, (r, t) in frames])
+        base_err = ate_rmse(run(make_config(world)), gt)
+        ba_err = ate_rmse(
+            run(make_config(world, local_ba_window=6, local_ba_every=1)), gt
+        )
+        assert ba_err < base_err, (base_err, ba_err)
