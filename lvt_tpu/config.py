@@ -91,6 +91,10 @@ class VOConfig:
     local_ba_every: int = 4        # run BA every N tracked frames
     local_ba_iterations: int = 6   # LM iterations per refinement
 
+    # ---- backend selection: fused Pallas perception kernel (None = auto:
+    # on for TPU backends, off elsewhere)
+    use_pallas_perception: bool | None = None
+
     # ---- observability
     enable_logging: bool = False
     enable_metrics: bool = False

@@ -29,16 +29,37 @@ def _pad_to(arr: jnp.ndarray, capacity: int, axis: int = 0) -> jnp.ndarray:
     return jnp.pad(arr, pad)
 
 
+def _use_pallas(config: VOConfig) -> bool:
+    if config.use_pallas_perception is not None:
+        return config.use_pallas_perception
+    return jax.default_backend() == "tpu"
+
+
 def extract_features(img: jnp.ndarray, config: VOConfig) -> FrameFeatures:
-    """Detect + describe one grayscale image -> FrameFeatures [kp_capacity]."""
-    det = detect.detect_corners(
-        img,
+    """Detect + describe one grayscale image -> FrameFeatures [kp_capacity].
+
+    On TPU the score maps + BRIEF bit-planes come from the fused Pallas
+    perception kernel (one pass over the image in VMEM); elsewhere from the
+    equivalent XLA ops. Selection/gather stages are shared.
+    """
+    if _use_pallas(config):
+        from lvt_tpu.ops.perception_pallas import perception_maps
+
+        score_raw, score_nms, planes = perception_maps(img)
+    else:
+        score_raw = detect.fast_score_map(img.astype(jnp.float32))
+        score_nms = detect.nms3x3(score_raw)
+        planes = brief.dense_descriptor_planes(
+            brief.box_smooth(img.astype(jnp.float32))
+        )
+    det = detect.select_corners(
+        score_raw, score_nms,
         config.agast_threshold,
         cell_size=config.detection_cell_size,
         max_per_cell=config.max_keypoints_per_cell,
         corners_low_threshold=config.corners_low_threshold,
     )
-    desc, valid = brief.compute_descriptors(img, det.kp, det.valid)
+    desc, valid = brief.descriptors_from_planes(planes, det.kp, det.valid)
     cap = config.kp_capacity
     return FrameFeatures(
         kp=_pad_to(det.kp, cap),

@@ -98,6 +98,26 @@ def dense_descriptor_planes(smooth: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(planes)
 
 
+def descriptors_from_planes(
+    planes: jnp.ndarray,    # [8, H, W] uint32 packed bit-planes
+    kp: jnp.ndarray,        # [K, 2] float32 (x, y)
+    kp_valid: jnp.ndarray,  # [K] bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather per-keypoint descriptors from precomputed dense bit-planes
+    (shared by the XLA path and the fused Pallas perception kernel)."""
+    _, h, w = planes.shape
+    x = jnp.round(kp[:, 0]).astype(jnp.int32)
+    y = jnp.round(kp[:, 1]).astype(jnp.int32)
+    inside = (
+        (x >= BORDER) & (x < w - BORDER) & (y >= BORDER) & (y < h - BORDER)
+    )
+    valid = kp_valid & inside
+    xc = jnp.clip(x, 0, w - 1)
+    yc = jnp.clip(y, 0, h - 1)
+    desc = planes[:, yc, xc].T  # [K, 8] — one small gather
+    return jnp.where(valid[:, None], desc, jnp.uint32(0)), valid
+
+
 @jax.jit
 def compute_descriptors(
     img: jnp.ndarray,       # [H, W] grayscale
@@ -105,19 +125,5 @@ def compute_descriptors(
     kp_valid: jnp.ndarray,  # [K] bool
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (desc [K, 8] uint32, valid [K] bool with border removal)."""
-    h, w = img.shape
-    smooth = box_smooth(img)
-
-    x = jnp.round(kp[:, 0]).astype(jnp.int32)
-    y = jnp.round(kp[:, 1]).astype(jnp.int32)
-    inside = (
-        (x >= BORDER) & (x < w - BORDER) & (y >= BORDER) & (y < h - BORDER)
-    )
-    valid = kp_valid & inside
-
-    planes = dense_descriptor_planes(smooth)  # [8, H, W]
-    xc = jnp.clip(x, 0, w - 1)
-    yc = jnp.clip(y, 0, h - 1)
-    desc = planes[:, yc, xc].T  # [K, 8] — one small gather
-    desc = jnp.where(valid[:, None], desc, jnp.uint32(0))
-    return desc, valid
+    planes = dense_descriptor_planes(box_smooth(img))  # [8, H, W]
+    return descriptors_from_planes(planes, kp, kp_valid)

@@ -149,17 +149,35 @@ def detect_corners(
     corners_low_threshold: int = 200,
     subpixel: bool = True,
 ) -> Detections:
-    """Full detection: score map -> NMS -> adaptive threshold -> cell top-k.
+    """Full detection: score map -> NMS -> adaptive threshold -> cell top-k."""
+    score_raw = fast_score_map(img)
+    score = nms3x3(score_raw)
+    return select_corners(
+        score_raw, score, threshold,
+        cell_size=cell_size, max_per_cell=max_per_cell,
+        corners_low_threshold=corners_low_threshold, subpixel=subpixel,
+    )
+
+
+def select_corners(
+    score_raw: jnp.ndarray,
+    score: jnp.ndarray,  # NMS'd score map
+    threshold,
+    *,
+    cell_size: int,
+    max_per_cell: int,
+    corners_low_threshold: int = 200,
+    subpixel: bool = True,
+) -> Detections:
+    """Adaptive threshold + per-cell top-k selection from precomputed score
+    maps (shared by the XLA path and the fused Pallas perception kernel).
 
     Output capacity is ncells * max_per_cell, cell-major then score-descending
     (matching the reference's concatenate-per-cell order,
     lvt_image_features_handler.cpp:131-154).
     """
-    h, w = img.shape
+    h, w = score.shape
     s_y, s_x, ncy, ncx = _cell_geometry(h, w, cell_size)
-
-    score_raw = fast_score_map(img)
-    score = nms3x3(score_raw)
 
     # pad to the cell grid and reshape to [ncells, cellpix]
     pad_y, pad_x = ncy * s_y - h, ncx * s_x - w

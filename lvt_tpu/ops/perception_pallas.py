@@ -1,0 +1,179 @@
+"""Fused perception kernel (Pallas/TPU): FAST score + NMS + BRIEF planes.
+
+The XLA path (ops/detect.py + ops/brief.py) is correct but memory-bound: the
+FAST ring stack, 3x3 NMS and the 512 shifted reads of the dense BRIEF
+comparison re-stream the image from HBM hundreds of times (~4.5 ms/frame of
+the KITTI-size step). This kernel computes everything in ONE pass: each
+row-slab of the image is DMA'd to VMEM once (with a 28-row halo covering the
+BRIEF pattern +-23, box kernel 4, FAST ring 3 and NMS 1), and all shifted
+accesses become rolls of the resident slab:
+
+    HBM traffic = image in (once, + halo overlap) + score/planes out.
+
+Outputs match ops/detect.fast_score_map->nms3x3 and
+ops/brief.dense_descriptor_planes up to float-summation order in the 9x9 box
+filter (the jnp path uses cumsum differences; here a shift-add tree), which
+can flip a BRIEF bit only where a test pair's two box sums are bitwise-equal
+up to 1 ulp — validated within tolerance in tests/test_pallas_perception.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lvt_tpu.ops.brief import test_pattern
+from lvt_tpu.ops.detect import RING_OFFSETS
+
+HALO = 28       # max(23 pattern + 4 box, 3 ring + 1 nms), rounded up
+TILE_ROWS = 64  # rows computed per grid step
+
+
+def _roll2(a, dy: int, dx: int):
+    """out[p] = a[p + (dy, dx)] as a static circular shift; wrap-around only
+    corrupts pixels within HALO of the slab edge, which the central output
+    rows never read. (pltpu.roll requires non-negative shifts.)"""
+    out = a
+    if dy:
+        out = pltpu.roll(out, (-dy) % out.shape[0], 0)
+    if dx:
+        out = pltpu.roll(out, (-dx) % out.shape[1], 1)
+    return out
+
+
+def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
+                       *, img_h: int, img_w: int):
+    i = pl.program_id(0)
+    rows = slab.shape[0]  # TILE_ROWS + 2*HALO
+
+    copy = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * TILE_ROWS, rows), :], slab, sem
+    )
+    copy.start()
+    copy.wait()
+    a = slab[:]
+
+    # ---- 9x9 box *sum* (separable shift-add tree)
+    rsum = a
+    for d in range(1, 5):
+        rsum = rsum + _roll2(a, d, 0) + _roll2(a, -d, 0)
+    smooth = rsum
+    for d in range(1, 5):
+        smooth = smooth + _roll2(rsum, 0, d) + _roll2(rsum, 0, -d)
+
+    # ---- FAST-9/16 max-threshold score
+    diffs = [_roll2(a, dy, dx) - a for dx, dy in RING_OFFSETS]
+
+    def circ_min9(d):
+        d2 = [jnp.minimum(d[k], d[(k + 1) % 16]) for k in range(16)]
+        d4 = [jnp.minimum(d2[k], d2[(k + 2) % 16]) for k in range(16)]
+        d8 = [jnp.minimum(d4[k], d4[(k + 4) % 16]) for k in range(16)]
+        return [jnp.minimum(d8[k], d[(k + 8) % 16]) for k in range(16)]
+
+    def arc_max(mins):
+        out = mins[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, mins[k])
+        return out
+
+    score = jnp.maximum(
+        arc_max(circ_min9(diffs)),
+        arc_max(circ_min9([-d for d in diffs])),
+    )
+    score = jnp.maximum(score, 0.0)
+
+    # zero outside the ring-interior of the *original* image before NMS so
+    # suppression decisions match the unfused path (fast_score_map masks the
+    # 3px border before nms3x3 sees it)
+    local_r = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+    local_c = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+    global_r = i * TILE_ROWS + local_r - HALO
+    inside = (
+        (global_r >= 3) & (global_r < img_h - 3)
+        & (local_c >= 3) & (local_c < img_w - 3)
+    )
+    score = jnp.where(inside, score, 0.0)
+
+    # ---- 3x3 non-max suppression
+    neigh = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                neigh = jnp.maximum(neigh, _roll2(score, dy, dx))
+    score_nms = jnp.where(score >= neigh, score, 0.0)
+    central = lambda x: jax.lax.slice_in_dim(x, HALO, HALO + TILE_ROWS, axis=0)
+    raw_ref[:] = central(score)
+    score_ref[:] = central(score_nms)
+
+    # ---- dense BRIEF-256 bit planes (packed 32 bits per uint32 word)
+    pat = test_pattern()  # static numpy [256, 2, 2]
+    for word in range(8):
+        acc = jnp.zeros_like(a, dtype=jnp.uint32)
+        for b in range(32):
+            (dx1, dy1), (dx2, dy2) = pat[word * 32 + b]
+            bit = _roll2(smooth, int(dy1), int(dx1)) < _roll2(
+                smooth, int(dy2), int(dx2)
+            )
+            acc = acc | (bit.astype(jnp.uint32) << np.uint32(b))
+        planes_ref[word, :, :] = jax.lax.slice_in_dim(
+            acc, HALO, HALO + TILE_ROWS, axis=0
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def perception_maps(
+    img: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(raw_score, nms_score [H, W] float32, brief_planes [8, H, W] uint32).
+
+    Replaces detect.fast_score_map + nms3x3 +
+    brief.dense_descriptor_planes(brief.box_smooth(img)) on TPU; the raw
+    score map feeds sub-pixel refinement.
+    """
+    h, w = img.shape
+    img = img.astype(jnp.float32)
+    wp = -(-w // 128) * 128
+    n_tiles = -(-h // TILE_ROWS)
+    hp = n_tiles * TILE_ROWS
+    padded = jnp.pad(img, ((HALO, hp - h + HALO), (0, wp - w)))
+
+    raw, score, planes = pl.pallas_call(
+        functools.partial(_perception_kernel, img_h=h, img_w=w),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE_ROWS, wp), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((8, hp, wp), jnp.uint32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_ROWS + 2 * HALO, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(padded)
+
+    raw = raw[:h, :w]
+    score = score[:h, :w]
+    # zero the 3px ring border like fast_score_map's interior mask
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return (
+        jnp.where(interior, raw, 0.0),
+        jnp.where(interior, score, 0.0),
+        planes[:, :h, :w],
+    )

@@ -1,0 +1,79 @@
+"""Fused Pallas perception kernel vs the unfused XLA path (interpret mode on
+CPU; the same kernel compiles for TPU in production)."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lvt_tpu.ops import brief, detect
+from lvt_tpu.ops.perception_pallas import perception_maps
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.RandomState(3)
+    base = rng.uniform(0, 255, (200, 300)).astype(np.float32)
+    return cv2.GaussianBlur(base, (0, 0), 1.5)
+
+
+@pytest.fixture(scope="module")
+def fused(img):
+    raw, nms, planes = perception_maps(jnp.array(img), interpret=True)
+    return np.asarray(raw), np.asarray(nms), np.asarray(planes)
+
+
+def test_score_map_matches(img, fused):
+    raw, _, _ = fused
+    want = np.asarray(detect.fast_score_map(jnp.array(img)))
+    np.testing.assert_allclose(raw, want, atol=1e-3)
+
+
+def test_nms_matches(img, fused):
+    _, nms, _ = fused
+    want = np.asarray(detect.nms3x3(detect.fast_score_map(jnp.array(img))))
+    np.testing.assert_allclose(nms, want, atol=1e-3)
+
+
+def test_brief_planes_match_within_float_order(img, fused):
+    _, _, planes = fused
+    want = np.asarray(
+        brief.dense_descriptor_planes(brief.box_smooth(jnp.array(img)))
+    )
+    # identical except where the 9x9 box sums differ in summation order by
+    # 1 ulp at a test pair's equality boundary
+    interior = (planes ^ want)[:, 28:-28, 28:-28]
+    diff_bits = np.unpackbits(interior.copy().view(np.uint8)).sum()
+    total_bits = interior.size * 32
+    assert diff_bits / total_bits < 1e-4, diff_bits
+
+
+def test_full_extraction_equivalence(img):
+    """End-to-end: keypoints + descriptors from the fused path match the
+    unfused extraction for the overwhelming majority of features."""
+    from lvt_tpu.config import VOConfig
+    from lvt_tpu.core.extract import extract_features
+
+    cfg = dict(
+        fx=260.0, fy=260.0, cx=150.0, cy=100.0, baseline=0.2,
+        img_width=300, img_height=200,
+        detection_cell_size=100, max_keypoints_per_cell=64,
+        agast_threshold=12,
+    )
+    f_ref = extract_features(
+        jnp.array(img), VOConfig(**cfg, use_pallas_perception=False)
+    )
+
+    raw, nms, planes = perception_maps(jnp.array(img), interpret=True)
+    det = detect.select_corners(
+        raw, nms, 12.0, cell_size=100, max_per_cell=64,
+    )
+    desc, valid = brief.descriptors_from_planes(planes, det.kp, det.valid)
+
+    np.testing.assert_allclose(np.asarray(det.kp), np.asarray(f_ref.kp)[: det.kp.shape[0]], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  np.asarray(f_ref.valid)[: valid.shape[0]])
+    d_ref = np.asarray(f_ref.desc)[: desc.shape[0]]
+    xor = np.asarray(desc) ^ d_ref
+    ham = np.unpackbits(xor.view(np.uint8), axis=-1).sum(-1)
+    assert (ham[np.asarray(valid)] <= 2).mean() > 0.99
