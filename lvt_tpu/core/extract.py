@@ -2,14 +2,19 @@
 
 TPU-native equivalent of the reference's ``lvt_image_features_handler``
 (lvt/src/lvt_image_features_handler.cpp:131-300). The reference processes the
-two stereo images on two CPU threads (:196-209); here both images are one
-batch dimension of the same jitted computation. All outputs are padded to the
+two stereo images on two CPU threads (:196-209); here any number of images is
+one batch axis of the same computation. On TPU the score maps and BRIEF
+bit-planes come from the fused Pallas perception kernel (one VMEM pass per
+image tile); elsewhere from equivalent XLA ops. All outputs are padded to the
 static keypoint capacity with validity masks.
+
+Note: the Pallas path is batched via an explicit grid dimension, NOT vmap —
+the stereo pair and multi-stream batches are flattened into that axis before
+the kernel and unflattened after (TPU lowering of ANY-memory-space operands
+rejects vmap's batched block specs).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,26 +40,27 @@ def _use_pallas(config: VOConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def extract_features(img: jnp.ndarray, config: VOConfig) -> FrameFeatures:
-    """Detect + describe one grayscale image -> FrameFeatures [kp_capacity].
-
-    On TPU the score maps + BRIEF bit-planes come from the fused Pallas
-    perception kernel (one pass over the image in VMEM); elsewhere from the
-    equivalent XLA ops. Selection/gather stages are shared.
-    """
+def perception_batched(imgs: jnp.ndarray, config: VOConfig):
+    """[B, H, W] -> (raw_score, nms_score [B, H, W], planes [B, 8, H, W])."""
     if _use_pallas(config):
-        from lvt_tpu.ops.perception_pallas import perception_maps
+        from lvt_tpu.ops.perception_pallas import perception_maps_batched
 
-        score_raw, score_nms, planes = perception_maps(img)
-    else:
-        score_raw = detect.fast_score_map(img.astype(jnp.float32))
-        score_nms = detect.nms3x3(score_raw)
-        planes = brief.dense_descriptor_planes(
-            brief.box_smooth(img.astype(jnp.float32))
+        return perception_maps_batched(imgs)
+
+    def one(img):
+        img = img.astype(jnp.float32)
+        raw = detect.fast_score_map(img)
+        return raw, detect.nms3x3(raw), brief.dense_descriptor_planes(
+            brief.box_smooth(img)
         )
+
+    return jax.vmap(one)(imgs)
+
+
+def _select_and_describe(raw, nms, planes, config: VOConfig) -> FrameFeatures:
+    """Per-image selection + descriptor gather (vmappable)."""
     det = detect.select_corners(
-        score_raw, score_nms,
-        config.agast_threshold,
+        raw, nms, config.agast_threshold,
         cell_size=config.detection_cell_size,
         max_per_cell=config.max_keypoints_per_cell,
         corners_low_threshold=config.corners_low_threshold,
@@ -70,13 +76,26 @@ def extract_features(img: jnp.ndarray, config: VOConfig) -> FrameFeatures:
     )
 
 
+def extract_features_batched(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
+    """[B, H, W] images -> batched FrameFeatures [B, kp_capacity]."""
+    raw, nms, planes = perception_batched(imgs, config)
+    return jax.vmap(lambda r, n, p: _select_and_describe(r, n, p, config))(
+        raw, nms, planes
+    )
+
+
+def extract_features(img: jnp.ndarray, config: VOConfig) -> FrameFeatures:
+    """Detect + describe one grayscale image -> FrameFeatures [kp_capacity]."""
+    feats = extract_features_batched(img[None], config)
+    return jax.tree.map(lambda a: a[0], feats)
+
+
 def extract_features_stereo(
     img_left: jnp.ndarray, img_right: jnp.ndarray, config: VOConfig
 ) -> tuple[FrameFeatures, FrameFeatures]:
     """Both stereo images as one batch dim (replaces the reference's
     std::thread split, lvt_image_features_handler.cpp:196-209)."""
-    both = jnp.stack([img_left, img_right])
-    feats = jax.vmap(lambda im: extract_features(im, config))(both)
+    feats = extract_features_batched(jnp.stack([img_left, img_right]), config)
     left = jax.tree.map(lambda a: a[0], feats)
     right = jax.tree.map(lambda a: a[1], feats)
     return left, right

@@ -48,11 +48,12 @@ def _roll2(a, dy: int, dx: int):
 
 def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
                        *, img_h: int, img_w: int):
-    i = pl.program_id(0)
+    b = pl.program_id(0)   # image in the batch (e.g. stereo left/right)
+    i = pl.program_id(1)   # row tile
     rows = slab.shape[0]  # TILE_ROWS + 2*HALO
 
     copy = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * TILE_ROWS, rows), :], slab, sem
+        img_hbm.at[b, pl.ds(i * TILE_ROWS, rows), :], slab, sem
     )
     copy.start()
     copy.wait()
@@ -107,8 +108,8 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
                 neigh = jnp.maximum(neigh, _roll2(score, dy, dx))
     score_nms = jnp.where(score >= neigh, score, 0.0)
     central = lambda x: jax.lax.slice_in_dim(x, HALO, HALO + TILE_ROWS, axis=0)
-    raw_ref[:] = central(score)
-    score_ref[:] = central(score_nms)
+    raw_ref[0, :, :] = central(score)
+    score_ref[0, :, :] = central(score_nms)
 
     # ---- dense BRIEF-256 bit planes (packed 32 bits per uint32 word)
     pat = test_pattern()  # static numpy [256, 2, 2]
@@ -120,44 +121,45 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
                 smooth, int(dy2), int(dx2)
             )
             acc = acc | (bit.astype(jnp.uint32) << np.uint32(b))
-        planes_ref[word, :, :] = jax.lax.slice_in_dim(
+        planes_ref[0, word, :, :] = jax.lax.slice_in_dim(
             acc, HALO, HALO + TILE_ROWS, axis=0
         )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def perception_maps(
-    img: jnp.ndarray, interpret: bool = False
+def perception_maps_batched(
+    imgs: jnp.ndarray, interpret: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(raw_score, nms_score [H, W] float32, brief_planes [8, H, W] uint32).
+    """Batched fused perception: imgs [B, H, W] ->
+    (raw_score [B, H, W], nms_score [B, H, W], planes [B, 8, H, W]).
 
-    Replaces detect.fast_score_map + nms3x3 +
-    brief.dense_descriptor_planes(brief.box_smooth(img)) on TPU; the raw
-    score map feeds sub-pixel refinement.
+    The batch is a leading grid dimension (NOT vmap: the TPU lowering of
+    ANY-memory-space inputs does not support vmap's batched block specs);
+    stereo pairs and multi-stream batches all route through here.
     """
-    h, w = img.shape
-    img = img.astype(jnp.float32)
+    bsz, h, w = imgs.shape
+    imgs = imgs.astype(jnp.float32)
     wp = -(-w // 128) * 128
     n_tiles = -(-h // TILE_ROWS)
     hp = n_tiles * TILE_ROWS
-    padded = jnp.pad(img, ((HALO, hp - h + HALO), (0, wp - w)))
+    padded = jnp.pad(imgs, ((0, 0), (HALO, hp - h + HALO), (0, wp - w)))
 
     raw, score, planes = pl.pallas_call(
         functools.partial(_perception_kernel, img_h=h, img_w=w),
-        grid=(n_tiles,),
+        grid=(bsz, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE_ROWS, wp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+            pl.BlockSpec((1, TILE_ROWS, wp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE_ROWS, wp), lambda i: (0, i, 0),
+            pl.BlockSpec((1, 8, TILE_ROWS, wp), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((8, hp, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 8, hp, wp), jnp.uint32),
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE_ROWS + 2 * HALO, wp), jnp.float32),
@@ -166,14 +168,20 @@ def perception_maps(
         interpret=interpret,
     )(padded)
 
-    raw = raw[:h, :w]
-    score = score[:h, :w]
+    raw = raw[:, :h, :w]
+    score = score[:, :h, :w]
     # zero the 3px ring border like fast_score_map's interior mask
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
-    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    interior = ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))[None]
     return (
         jnp.where(interior, raw, 0.0),
         jnp.where(interior, score, 0.0),
-        planes[:, :h, :w],
+        planes[:, :, :h, :w],
     )
+
+
+def perception_maps(img: jnp.ndarray, interpret: bool = False):
+    """Single-image convenience wrapper around perception_maps_batched."""
+    raw, score, planes = perception_maps_batched(img[None], interpret=interpret)
+    return raw[0], score[0], planes[0]

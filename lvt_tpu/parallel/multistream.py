@@ -41,12 +41,22 @@ def multistream_step_stereo(
     imgs_right: jnp.ndarray,  # [S, H, W]
     config: VOConfig,
 ):
-    """One frame for every stream. Under vmap the per-stream state machine
-    (lax.switch) lowers to compute-all-branches + select — the TPU-friendly
-    trade of deterministic compute for branchless batching."""
+    """One frame for every stream. Feature extraction for all 2S images runs
+    as ONE batched perception pass (the Pallas kernel batches via its grid,
+    not vmap); the per-stream state machine is then vmapped, where lax.switch
+    lowers to compute-all-branches + select — the TPU-friendly trade of
+    deterministic compute for branchless batching."""
+    from lvt_tpu.core import extract
+
+    s = imgs_left.shape[0]
+    feats = extract.extract_features_batched(
+        jnp.concatenate([imgs_left, imgs_right]).astype(jnp.float32), config
+    )
+    left = jax.tree.map(lambda a: a[:s], feats)
+    right = jax.tree.map(lambda a: a[s:], feats)
     return jax.vmap(
-        lambda s, a, b: step_mod.track_step_stereo(s, a, b, config)
-    )(states, imgs_left, imgs_right)
+        lambda st, l, r: step_mod.track_features(st, l, r, config, rgbd=False)
+    )(states, left, right)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -54,9 +64,37 @@ def multistream_step_rgbd(
     states: VOState, imgs_gray: jnp.ndarray, imgs_depth: jnp.ndarray,
     config: VOConfig,
 ):
-    return jax.vmap(
-        lambda s, a, b: step_mod.track_step_rgbd(s, a, b, config)
-    )(states, imgs_gray, imgs_depth)
+    from lvt_tpu.core import extract
+
+    feats = extract.extract_features_batched(
+        imgs_gray.astype(jnp.float32), config
+    )
+
+    def one(st, f, depth):
+        f = _apply_depth(f, depth, config)
+        return step_mod.track_features(st, f, None, config, rgbd=True)
+
+    return jax.vmap(one)(states, feats, imgs_depth)
+
+
+def _apply_depth(feats, img_depth, config: VOConfig):
+    """Depth filtering/undistortion of already-extracted features (the
+    single-stream rgbd path does this inside extract_features_rgbd)."""
+    from lvt_tpu.ops import undistort
+
+    xi = jnp.clip(feats.kp[:, 0].astype(jnp.int32), 0, config.img_width - 1)
+    yi = jnp.clip(feats.kp[:, 1].astype(jnp.int32), 0, config.img_height - 1)
+    d = img_depth[yi, xi]
+    ok = (d >= config.near_plane_distance) & (d <= config.far_plane_distance)
+    valid = feats.valid & ok
+    if abs(config.k1) > 1e-5:
+        kp = undistort.undistort_points(
+            feats.kp, config.fx, config.fy, config.cx, config.cy,
+            config.k1, config.k2, config.p1, config.p2, config.k3,
+        )
+    else:
+        kp = feats.kp
+    return feats._replace(kp=kp, depth=d, valid=valid)
 
 
 @functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
