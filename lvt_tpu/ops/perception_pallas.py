@@ -31,7 +31,8 @@ from lvt_tpu.ops.brief import test_pattern
 from lvt_tpu.ops.detect import RING_OFFSETS
 
 HALO = 28       # max(23 pattern + 4 box, 3 ring + 1 nms), rounded up
-TILE_ROWS = 64  # rows computed per grid step
+TILE_ROWS = 32  # rows computed per grid step (slab must fit VMEM with all
+#                 live temporaries; see the liveness notes in the kernel)
 
 
 def _roll2(a, dy: int, dx: int):
@@ -67,25 +68,23 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
     for d in range(1, 5):
         smooth = smooth + _roll2(rsum, 0, d) + _roll2(rsum, 0, -d)
 
-    # ---- FAST-9/16 max-threshold score
+    # ---- FAST-9/16 max-threshold score.
+    # Liveness-minimal formulation: keep only the 16 ring diffs plus two
+    # accumulators live (the log-step doubling variant holds ~64 slab-sized
+    # arrays and blows the 16MB scoped-VMEM budget). Cost: 16 arcs x 8 mins
+    # x2 (bright/dark share diffs via sign flip) — pure VPU throughput.
     diffs = [_roll2(a, dy, dx) - a for dx, dy in RING_OFFSETS]
 
-    def circ_min9(d):
-        d2 = [jnp.minimum(d[k], d[(k + 1) % 16]) for k in range(16)]
-        d4 = [jnp.minimum(d2[k], d2[(k + 2) % 16]) for k in range(16)]
-        d8 = [jnp.minimum(d4[k], d4[(k + 4) % 16]) for k in range(16)]
-        return [jnp.minimum(d8[k], d[(k + 8) % 16]) for k in range(16)]
+    def max_arc_min(sign):
+        best = None
+        for k in range(16):
+            m = sign * diffs[k]
+            for j in range(1, 9):
+                m = jnp.minimum(m, sign * diffs[(k + j) % 16])
+            best = m if best is None else jnp.maximum(best, m)
+        return best
 
-    def arc_max(mins):
-        out = mins[0]
-        for k in range(1, 16):
-            out = jnp.maximum(out, mins[k])
-        return out
-
-    score = jnp.maximum(
-        arc_max(circ_min9(diffs)),
-        arc_max(circ_min9([-d for d in diffs])),
-    )
+    score = jnp.maximum(max_arc_min(1.0), max_arc_min(-1.0))
     score = jnp.maximum(score, 0.0)
 
     # zero outside the ring-interior of the *original* image before NMS so
