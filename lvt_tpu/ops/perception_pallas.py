@@ -33,6 +33,20 @@ from lvt_tpu.ops.detect import RING_OFFSETS
 HALO = 28       # max(23 pattern + 4 box, 3 ring + 1 nms), rounded up
 TILE_ROWS = 32  # rows computed per grid step (slab must fit VMEM with all
 #                 live temporaries; see the liveness notes in the kernel)
+COL_HALO = 64   # column halo (>= HALO, multiple of 128/2 keeps DMA lanes
+#                 aligned: slab width = COL_TILE + 2*COL_HALO is a multiple
+#                 of 128 whenever COL_TILE is)
+MAX_COL_TILE = 512  # widest column tile: the FAST phase keeps ~16 slab-sized
+#                 ring-diff arrays live, so scoped VMEM (~16MB/core) caps the
+#                 slab at about (TILE_ROWS+2*HALO) x 640 floats
+
+
+def _col_tile(w: int) -> int:
+    """Column tile width for an image of width ``w``: the smallest multiple
+    of 128 that covers ``w`` in ceil(w / MAX_COL_TILE) tiles (minimises the
+    padded-out compute while keeping every slab inside scoped VMEM)."""
+    n = -(-w // MAX_COL_TILE)
+    return -(-(-(-w // n)) // 128) * 128
 
 
 def _roll2(a, dy: int, dx: int):
@@ -48,13 +62,16 @@ def _roll2(a, dy: int, dx: int):
 
 
 def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
-                       *, img_h: int, img_w: int):
+                       *, img_h: int, img_w: int, col_tile: int):
     b = pl.program_id(0)   # image in the batch (e.g. stereo left/right)
     i = pl.program_id(1)   # row tile
-    rows = slab.shape[0]  # TILE_ROWS + 2*HALO
+    j = pl.program_id(2)   # column tile
+    rows = slab.shape[0]   # TILE_ROWS + 2*HALO
+    cols = slab.shape[1]   # col_tile + 2*COL_HALO
 
     copy = pltpu.make_async_copy(
-        img_hbm.at[b, pl.ds(i * TILE_ROWS, rows), :], slab, sem
+        img_hbm.at[b, pl.ds(i * TILE_ROWS, rows), pl.ds(j * col_tile, cols)],
+        slab, sem,
     )
     copy.start()
     copy.wait()
@@ -93,9 +110,10 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
     local_r = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
     local_c = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
     global_r = i * TILE_ROWS + local_r - HALO
+    global_c = j * col_tile + local_c - COL_HALO
     inside = (
         (global_r >= 3) & (global_r < img_h - 3)
-        & (local_c >= 3) & (local_c < img_w - 3)
+        & (global_c >= 3) & (global_c < img_w - 3)
     )
     score = jnp.where(inside, score, 0.0)
 
@@ -106,7 +124,11 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
             if dy or dx:
                 neigh = jnp.maximum(neigh, _roll2(score, dy, dx))
     score_nms = jnp.where(score >= neigh, score, 0.0)
-    central = lambda x: jax.lax.slice_in_dim(x, HALO, HALO + TILE_ROWS, axis=0)
+
+    def central(x):
+        x = jax.lax.slice_in_dim(x, HALO, HALO + TILE_ROWS, axis=0)
+        return jax.lax.slice_in_dim(x, COL_HALO, COL_HALO + col_tile, axis=1)
+
     raw_ref[0, :, :] = central(score)
     score_ref[0, :, :] = central(score_nms)
 
@@ -114,15 +136,13 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
     pat = test_pattern()  # static numpy [256, 2, 2]
     for word in range(8):
         acc = jnp.zeros_like(a, dtype=jnp.uint32)
-        for b in range(32):
-            (dx1, dy1), (dx2, dy2) = pat[word * 32 + b]
+        for bit_idx in range(32):
+            (dx1, dy1), (dx2, dy2) = pat[word * 32 + bit_idx]
             bit = _roll2(smooth, int(dy1), int(dx1)) < _roll2(
                 smooth, int(dy2), int(dx2)
             )
-            acc = acc | (bit.astype(jnp.uint32) << np.uint32(b))
-        planes_ref[0, word, :, :] = jax.lax.slice_in_dim(
-            acc, HALO, HALO + TILE_ROWS, axis=0
-        )
+            acc = acc | (bit.astype(jnp.uint32) << np.uint32(bit_idx))
+        planes_ref[0, word, :, :] = central(acc)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -138,21 +158,31 @@ def perception_maps_batched(
     """
     bsz, h, w = imgs.shape
     imgs = imgs.astype(jnp.float32)
-    wp = -(-w // 128) * 128
+    col_tile = _col_tile(w)
+    n_col = -(-w // col_tile)
+    wp = n_col * col_tile
     n_tiles = -(-h // TILE_ROWS)
     hp = n_tiles * TILE_ROWS
-    padded = jnp.pad(imgs, ((0, 0), (HALO, hp - h + HALO), (0, wp - w)))
+    # row padding covers the row halo; column padding covers the column halo
+    # on the left and (halo + tile round-up) on the right
+    padded = jnp.pad(
+        imgs,
+        ((0, 0), (HALO, hp - h + HALO), (COL_HALO, wp - w + COL_HALO)),
+    )
 
     raw, score, planes = pl.pallas_call(
-        functools.partial(_perception_kernel, img_h=h, img_w=w),
-        grid=(bsz, n_tiles),
+        functools.partial(
+            _perception_kernel, img_h=h, img_w=w, col_tile=col_tile
+        ),
+        grid=(bsz, n_tiles, n_col),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((1, TILE_ROWS, wp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, TILE_ROWS, col_tile), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_ROWS, wp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, TILE_ROWS, col_tile), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE_ROWS, wp), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, 8, TILE_ROWS, col_tile),
+                         lambda b, i, j: (b, 0, i, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -161,7 +191,9 @@ def perception_maps_batched(
             jax.ShapeDtypeStruct((bsz, 8, hp, wp), jnp.uint32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE_ROWS + 2 * HALO, wp), jnp.float32),
+            pltpu.VMEM(
+                (TILE_ROWS + 2 * HALO, col_tile + 2 * COL_HALO), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
