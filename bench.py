@@ -14,9 +14,11 @@ timed region covers the chunked track dispatches (the production streaming
 path overlaps uploads with compute; this isolates the VO pipeline itself).
 
 Baseline: the reference C++ LVT cannot be built here (g2o/OpenCV-C++ absent;
-zero egress). BASELINE.md records the stand-in: the Sensors 2018 paper and
-the kitti_example driver describe real-time operation around ~70 fps on a
-desktop CPU; vs_baseline is measured fps / 70.
+zero egress). BASELINE.md records both denominator candidates: the measured
+reference-oracle throughput (scripts/bench_oracle.py, 4.44 fps — Python-bound,
+not representative of the C++ binary) and the Sensors-2018 "real-time" claim
+of ~70 fps on a desktop CPU. vs_baseline uses the CONSERVATIVE denominator
+max(70, measured oracle fps) = 70.
 """
 
 import json

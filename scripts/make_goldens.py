@@ -1,0 +1,72 @@
+"""Generate golden oracle trajectories for the parity regression tests.
+
+Runs the faithful reference oracle (tools/oracle) over every scenario in
+tools/oracle/scenarios.py and stores its trajectory + the ground truth +
+its ATE as tests/golden/<name>.npz. tests/test_parity_oracle.py then runs
+lvt_tpu over the SAME frames and asserts its ATE is within margin of the
+stored oracle ATE — the trajectory-level acceptance bar of SURVEY.md §4.
+
+Usage: python scripts/make_goldens.py [scenario ...]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from lvt_tpu.io.synthetic import ate_rmse
+from tools.oracle import OracleVO, OracleParams
+from tools.oracle.scenarios import SCENARIOS, by_name
+
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parents[1] / "tests" / "golden"
+
+
+def run_scenario(sc) -> dict:
+    world = sc.world()
+    params = OracleParams(
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+        baseline=world.baseline, img_width=world.width,
+        img_height=world.height,
+    )
+    vo = OracleVO(params, sensor=sc.sensor)
+    est, gt = [], []
+    t0 = time.perf_counter()
+    for a, b, t in sc.frames():
+        pose = vo.track(a, b)
+        est.append(pose[1])
+        gt.append(t)
+    dt = time.perf_counter() - t0
+    est = np.array(est)
+    gt = np.array(gt)
+    return {
+        "est_t": est,
+        "gt_t": gt,
+        "ate": np.float64(ate_rmse(est, gt)),
+        "fps": np.float64(len(gt) / dt),
+        "final_state": np.int32(vo.get_state()),
+        "n_frames": np.int32(sc.n_frames),
+    }
+
+
+def main():
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    names = sys.argv[1:] or [s.name for s in SCENARIOS]
+    for name in names:
+        sc = by_name(name)
+        print(f"== {name} ({sc.n_frames} frames, {sc.sensor}) ...",
+              flush=True)
+        res = run_scenario(sc)
+        out = GOLDEN_DIR / f"{name}.npz"
+        np.savez_compressed(out, **res)
+        print(f"   ATE {float(res['ate']):.4f} m  "
+              f"{float(res['fps']):.2f} fps  state={int(res['final_state'])}"
+              f"  -> {out}")
+
+
+if __name__ == "__main__":
+    main()

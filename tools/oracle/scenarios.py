@@ -1,0 +1,74 @@
+"""Shared synthetic-world parity scenarios.
+
+One definition used by both the golden generator (scripts/make_goldens.py,
+which runs the reference oracle) and the regression test
+(tests/test_parity_oracle.py, which runs lvt_tpu on the SAME frames and
+compares ATE against the stored oracle ATE). Frames are deterministic:
+SyntheticWorld is seeded and per-frame sensor noise uses a fixed seed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from lvt_tpu.io.synthetic import SyntheticWorld
+
+
+@dataclasses.dataclass(frozen=True)
+class Scenario:
+    name: str
+    n_frames: int
+    sensor: str = "stereo"       # "stereo" | "rgbd"
+    speed: float = 0.8
+    yaw_rate: float = 0.002
+    noise_sigma: float = 0.0
+    noise_seed: int = 1234
+    # margin for the parity assertion: lvt_tpu ATE must be
+    # <= oracle ATE * rel + abs (meters)
+    rel_margin: float = 1.3
+    abs_margin: float = 0.25
+
+    def world(self) -> SyntheticWorld:
+        return SyntheticWorld()
+
+    def frames(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yields (img1 uint8/float, img2, gt_position). img2 is the right
+        stereo image (uint8) or the float32 depth map for RGB-D."""
+        world = self.world()
+        rs = np.random.RandomState(self.noise_seed)
+        if self.sensor == "stereo":
+            seq = world.stereo_sequence(self.n_frames, speed=self.speed,
+                                        yaw_rate=self.yaw_rate)
+        else:
+            seq = world.rgbd_sequence(self.n_frames, speed=self.speed,
+                                      yaw_rate=self.yaw_rate)
+        for a, b, (_, t) in seq:
+            if self.noise_sigma > 0.0:
+                a = a + rs.randn(*a.shape) * self.noise_sigma
+                if self.sensor == "stereo":
+                    b = b + rs.randn(*b.shape) * self.noise_sigma
+            a = np.clip(a, 0, 255).astype(np.uint8)
+            if self.sensor == "stereo":
+                b = np.clip(b, 0, 255).astype(np.uint8)
+            else:
+                b = np.asarray(b, np.float32)
+            yield a, b, t
+
+
+SCENARIOS = (
+    Scenario("fwd_yaw", n_frames=100),
+    Scenario("turn", n_frames=80, speed=0.6, yaw_rate=0.02),
+    Scenario("noisy", n_frames=80, noise_sigma=4.0),
+    Scenario("fast", n_frames=60, speed=1.6),
+    Scenario("rgbd", n_frames=80, sensor="rgbd", speed=0.5),
+)
+
+
+def by_name(name: str) -> Scenario:
+    for s in SCENARIOS:
+        if s.name == name:
+            return s
+    raise KeyError(name)
