@@ -6,12 +6,18 @@ a 9x9 box-smoothed intensity is sampled at 256 fixed point pairs inside a
 48x48 patch around each keypoint; bit i = [S(p1_i) < S(p2_i)]. Descriptors
 are packed as 8 x uint32 (see lvt_tpu.ops.hamming).
 
-The OpenCV test pattern is a machine-generated table; we instead generate the
-pattern the way the BRIEF paper (Calonder et al., ECCV 2010) prescribes for
-its best-performing variant (G II): i.i.d. isotropic Gaussian with
-sigma = patch/5, clipped to the patch, from a fixed seed. The pattern only
-needs to be *consistent across frames*, not identical to OpenCV's — matching
-quality is equivalent and trajectory-level parity is the acceptance bar.
+The OpenCV test pattern is a machine-generated table; we instead generate a
+pattern tuned to the TPU's execution model: 256 comparison pairs drawn from a
+**pool of 64 distinct sample points** (i.i.d. isotropic Gaussian with
+sigma = patch/5 clipped to the patch, per the BRIEF paper's best variant
+G II — Calonder et al., ECCV 2010). Sampling from a pool means a dense
+evaluation needs only 64 shifted copies of the smoothed image instead of 512
+(one per pair endpoint) — an 8x cut in the dominant VPU data movement of the
+perception kernel — while the 256 pairwise comparisons of 64 Gaussian
+samples retain ~log2(64!) ≈ 296 bits of ordering information (descriptor
+quality is validated at trajectory level by tests/test_parity_oracle.py).
+The pattern only needs to be *consistent across frames*, not identical to
+OpenCV's; the reference oracle (tools/oracle) shares this pattern.
 
 Keypoints closer than PATCH/2 + KERNEL/2 to the image border are invalidated,
 mirroring OpenCV's runByImageBorder removal (we clear the validity mask
@@ -26,25 +32,53 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PATCH_SIZE = 48
+PATCH_SIZE = 32   # ORB-sized patch (OpenCV BRIEF uses 48; smaller patch +
+#                   box smoothing keeps discrimination and shrinks the
+#                   perception kernel's halo from 28 to 20 rows)
 KERNEL_SIZE = 9
 N_BITS = 256
-BORDER = PATCH_SIZE // 2 + KERNEL_SIZE // 2  # 28, matches OpenCV BRIEF
+POOL_SIZE = 64    # distinct sample points shared by the 256 pairs
+BORDER = PATCH_SIZE // 2 + KERNEL_SIZE // 2  # 20
 _PATTERN_SEED = 0x5F3759DF
 
 
 @functools.lru_cache(maxsize=1)
-def test_pattern() -> np.ndarray:
-    """[256, 2, 2] int32 (pair, point, (dx, dy)) sampling offsets."""
+def sample_pool() -> np.ndarray:
+    """[POOL_SIZE, 2] int32 (dx, dy) distinct sample offsets."""
     rs = np.random.RandomState(_PATTERN_SEED)
     sigma = PATCH_SIZE / 5.0
     half = PATCH_SIZE // 2 - 1
-    pts = rs.randn(N_BITS, 2, 2) * sigma
-    pts = np.clip(np.round(pts), -half, half).astype(np.int32)
-    # degenerate pairs (p1 == p2) always compare false; nudge them apart
-    same = np.all(pts[:, 0] == pts[:, 1], axis=-1)
-    pts[same, 1, 0] += 1
-    return pts
+    pts: list[tuple[int, int]] = []
+    seen = set()
+    while len(pts) < POOL_SIZE:
+        cand = np.clip(np.round(rs.randn(2) * sigma), -half, half).astype(int)
+        key = (int(cand[0]), int(cand[1]))
+        if key not in seen:  # pool points must be distinct
+            seen.add(key)
+            pts.append(key)
+    return np.array(pts, np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def pair_indices() -> np.ndarray:
+    """[N_BITS, 2] int32 (i, j) pool indices; bit = S(p_i) < S(p_j)."""
+    rs = np.random.RandomState(_PATTERN_SEED ^ 0xA5A5A5)
+    pairs: list[tuple[int, int]] = []
+    seen = set()
+    while len(pairs) < N_BITS:
+        i, j = rs.randint(0, POOL_SIZE, 2)
+        if i != j and (i, j) not in seen and (j, i) not in seen:
+            seen.add((i, j))
+            pairs.append((int(i), int(j)))
+    return np.array(pairs, np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def test_pattern() -> np.ndarray:
+    """[256, 2, 2] int32 (pair, point, (dx, dy)) sampling offsets — the
+    pair-expanded view of (sample_pool, pair_indices), kept as the stable
+    interface for per-keypoint sampling (oracle, tests)."""
+    return sample_pool()[pair_indices()]
 
 
 def box_smooth(img: jnp.ndarray, size: int = KERNEL_SIZE) -> jnp.ndarray:
@@ -65,34 +99,36 @@ def box_smooth(img: jnp.ndarray, size: int = KERNEL_SIZE) -> jnp.ndarray:
     return along(along(img, 0), 1)
 
 
-_HALF = PATCH_SIZE // 2 - 1  # pattern offsets live in [-23, 23]
+_HALF = PATCH_SIZE // 2 - 1  # pattern offsets live in [-15, 15]
 
 
 def dense_descriptor_planes(smooth: jnp.ndarray) -> jnp.ndarray:
     """Packed BRIEF bit-planes for EVERY pixel: [8, H, W] uint32.
 
-    Each test-pair comparison S(p+a) < S(p+b) is evaluated densely as a
-    comparison of two statically-shifted copies of the smoothed image, and
-    32 comparisons OR-pack into one uint32 plane. Static shifts fuse into
-    one tiled VPU kernel with halos (compute-dense), so the per-keypoint
-    descriptor afterwards is a tiny 8-word gather — the TPU-native
-    replacement for 512 random scalar gathers per keypoint (which profiled
-    at ~20ms/frame) and for per-keypoint patch slicing (which XLA serialized
-    into a dynamic-slice loop, ~4ms/frame)."""
+    The 64 pool samples are materialized ONCE as statically-shifted copies
+    of the smoothed image; the 256 pair comparisons then index into that
+    pool and 32 comparisons OR-pack into one uint32 plane. Static shifts
+    fuse into one tiled VPU kernel with halos (compute-dense), so the
+    per-keypoint descriptor afterwards is a tiny 8-word gather — the
+    TPU-native replacement for 512 random scalar gathers per keypoint
+    (which profiled at ~20ms/frame) and for per-keypoint patch slicing
+    (which XLA serialized into a dynamic-slice loop, ~4ms/frame)."""
     h, w = smooth.shape
     pad = _HALF + 1
     sp = jnp.pad(smooth, pad)
-    pat = test_pattern()  # [256, 2, 2] numpy, static
+    pool = sample_pool()      # [64, 2] numpy, static
+    pairs = pair_indices()    # [256, 2] numpy, static
 
     def shifted(dx: int, dy: int):
         return jax.lax.slice(sp, (pad + dy, pad + dx), (pad + dy + h, pad + dx + w))
 
+    samples = [shifted(int(dx), int(dy)) for dx, dy in pool]
     planes = []
     for word in range(8):
         acc = jnp.zeros((h, w), jnp.uint32)
         for i in range(32):
-            (dx1, dy1), (dx2, dy2) = pat[word * 32 + i]
-            bit = shifted(int(dx1), int(dy1)) < shifted(int(dx2), int(dy2))
+            pi, pj = pairs[word * 32 + i]
+            bit = samples[pi] < samples[pj]
             acc = acc | (bit.astype(jnp.uint32) << np.uint32(i))
         planes.append(acc)
     return jnp.stack(planes)

@@ -1,20 +1,27 @@
-"""Fused perception kernel (Pallas/TPU): FAST score + NMS + BRIEF planes.
+"""Fused perception kernels (Pallas/TPU): FAST score + NMS + BRIEF planes.
 
 The XLA path (ops/detect.py + ops/brief.py) is correct but memory-bound: the
-FAST ring stack, 3x3 NMS and the 512 shifted reads of the dense BRIEF
-comparison re-stream the image from HBM hundreds of times (~4.5 ms/frame of
-the KITTI-size step). This kernel computes everything in ONE pass: each
-row-slab of the image is DMA'd to VMEM once (with a 28-row halo covering the
-BRIEF pattern +-23, box kernel 4, FAST ring 3 and NMS 1), and all shifted
-accesses become rolls of the resident slab:
+FAST ring stack, 3x3 NMS and the shifted reads of the dense BRIEF comparison
+re-stream the image from HBM hundreds of times. Here the work is TWO
+single-pass kernels, each sized to its own halo so neither pays the other's
+recompute amplification:
 
-    HBM traffic = image in (once, + halo overlap) + score/planes out.
+  * kernel A (``_score_smooth_kernel``): 9x9 box sum, FAST-9/16
+    max-threshold score (log-step doubling over the 16 ring diffs), 3x3 NMS
+    — all from one VMEM-resident slab with an 8-row halo. Outputs the raw
+    score, the NMS'd score and the smoothed image.
+  * kernel B (``_brief_kernel``): dense BRIEF-256 bit planes from the
+    smoothed image. The pattern samples a 64-point pool (ops/brief.py), so
+    the slab is shifted only 64 times (vs 512 for i.i.d. pairs) with a
+    16-row halo; the 256 pair comparisons index the resident pool.
 
-Outputs match ops/detect.fast_score_map->nms3x3 and
-ops/brief.dense_descriptor_planes up to float-summation order in the 9x9 box
-filter (the jnp path uses cumsum differences; here a shift-add tree), which
-can flip a BRIEF bit only where a test pair's two box sums are bitwise-equal
-up to 1 ulp — validated within tolerance in tests/test_pallas_perception.py.
+HBM traffic = image in + (raw, nms, smooth) out + smooth in + planes out;
+all compute touches each slab exactly once. Outputs match
+ops/detect.fast_score_map -> nms3x3 and ops/brief.dense_descriptor_planes up
+to float-summation order in the 9x9 box filter (the jnp path uses cumsum
+differences; here a shift-add tree), which can flip a BRIEF bit only where a
+test pair's two box sums are bitwise-equal up to 1 ulp — validated within
+tolerance in tests/test_pallas_perception.py.
 """
 
 from __future__ import annotations
@@ -27,18 +34,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lvt_tpu.ops.brief import test_pattern
+from lvt_tpu.ops.brief import pair_indices, sample_pool
 from lvt_tpu.ops.detect import RING_OFFSETS
 
-HALO = 28       # max(23 pattern + 4 box, 3 ring + 1 nms), rounded up
-TILE_ROWS = 32  # rows computed per grid step (slab must fit VMEM with all
-#                 live temporaries; see the liveness notes in the kernel)
-COL_HALO = 64   # column halo (>= HALO, multiple of 128/2 keeps DMA lanes
-#                 aligned: slab width = COL_TILE + 2*COL_HALO is a multiple
-#                 of 128 whenever COL_TILE is)
-MAX_COL_TILE = 512  # widest column tile: the FAST phase keeps ~16 slab-sized
-#                 ring-diff arrays live, so scoped VMEM (~16MB/core) caps the
-#                 slab at about (TILE_ROWS+2*HALO) x 640 floats
+HALO_A = 8        # kernel A: ring 3 + NMS 1 = 4, box 4; 8 keeps sublanes aligned
+HALO_B = 16       # kernel B: max |pattern offset| = 15
+TILE_ROWS_A = 64  # rows computed per grid step of kernel A
+TILE_ROWS_B = 32  # kernel B keeps 64 pool slabs live -> smaller row tile
+COL_HALO = 64     # column halo (covers both kernels; 2*64 keeps the slab
+#                   width a multiple of 128 whenever the column tile is)
+MAX_COL_TILE = 512
 
 
 def _col_tile(w: int) -> int:
@@ -51,8 +56,8 @@ def _col_tile(w: int) -> int:
 
 def _roll2(a, dy: int, dx: int):
     """out[p] = a[p + (dy, dx)] as a static circular shift; wrap-around only
-    corrupts pixels within HALO of the slab edge, which the central output
-    rows never read. (pltpu.roll requires non-negative shifts.)"""
+    corrupts pixels within the halo of the slab edge, which the central
+    output rows never read. (pltpu.roll requires non-negative shifts.)"""
     out = a
     if dy:
         out = pltpu.roll(out, (-dy) % out.shape[0], 0)
@@ -61,21 +66,25 @@ def _roll2(a, dy: int, dx: int):
     return out
 
 
-def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
-                       *, img_h: int, img_w: int, col_tile: int):
+def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
+                         *, img_h: int, img_w: int, col_tile: int):
     b = pl.program_id(0)   # image in the batch (e.g. stereo left/right)
     i = pl.program_id(1)   # row tile
     j = pl.program_id(2)   # column tile
-    rows = slab.shape[0]   # TILE_ROWS + 2*HALO
+    rows = slab.shape[0]   # TILE_ROWS_A + 2*HALO_A
     cols = slab.shape[1]   # col_tile + 2*COL_HALO
 
     copy = pltpu.make_async_copy(
-        img_hbm.at[b, pl.ds(i * TILE_ROWS, rows), pl.ds(j * col_tile, cols)],
+        img_hbm.at[b, pl.ds(i * TILE_ROWS_A, rows), pl.ds(j * col_tile, cols)],
         slab, sem,
     )
     copy.start()
     copy.wait()
     a = slab[:]
+
+    def central(x):
+        x = jax.lax.slice_in_dim(x, HALO_A, HALO_A + TILE_ROWS_A, axis=0)
+        return jax.lax.slice_in_dim(x, COL_HALO, COL_HALO + col_tile, axis=1)
 
     # ---- 9x9 box *sum* (separable shift-add tree)
     rsum = a
@@ -84,32 +93,40 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
     smooth = rsum
     for d in range(1, 5):
         smooth = smooth + _roll2(rsum, 0, d) + _roll2(rsum, 0, -d)
+    smooth_ref[0, :, :] = central(smooth)
 
-    # ---- FAST-9/16 max-threshold score.
-    # Liveness-minimal formulation: keep only the 16 ring diffs plus two
-    # accumulators live (the log-step doubling variant holds ~64 slab-sized
-    # arrays and blows the 16MB scoped-VMEM budget). Cost: 16 arcs x 8 mins
-    # x2 (bright/dark share diffs via sign flip) — pure VPU throughput.
+    # ---- FAST-9/16 max-threshold score via log-step doubling.
+    # arc9_min[i] = min(d[i..i+8]) built as windows 2 -> 4 -> 8 -> 9;
+    # the "rolls" along the ring axis are list reindexings (free), so this
+    # is 4x16 min ops instead of the 16x8 sequential-arc formulation.
+    # Peak liveness: diffs + two window levels ~= 48 slab-sized arrays.
     diffs = [_roll2(a, dy, dx) - a for dx, dy in RING_OFFSETS]
 
-    def max_arc_min(sign):
-        best = None
-        for k in range(16):
-            m = sign * diffs[k]
-            for j in range(1, 9):
-                m = jnp.minimum(m, sign * diffs[(k + j) % 16])
-            best = m if best is None else jnp.maximum(best, m)
-        return best
+    def arc9(ds, op):
+        b2 = [op(ds[k], ds[(k + 1) % 16]) for k in range(16)]
+        b4 = [op(b2[k], b2[(k + 2) % 16]) for k in range(16)]
+        b8 = [op(b4[k], b4[(k + 4) % 16]) for k in range(16)]
+        return [op(b8[k], ds[(k + 8) % 16]) for k in range(16)]
 
-    score = jnp.maximum(max_arc_min(1.0), max_arc_min(-1.0))
-    score = jnp.maximum(score, 0.0)
+    def list_reduce(xs, op):
+        while len(xs) > 1:
+            xs = [op(xs[k], xs[k + 1]) for k in range(0, len(xs) - 1, 2)] + (
+                [xs[-1]] if len(xs) % 2 else []
+            )
+        return xs[0]
+
+    # bright: max over arcs of (min of d within arc)
+    score_bright = list_reduce(arc9(diffs, jnp.minimum), jnp.maximum)
+    # dark: max over arcs of (min of -d) == -(min over arcs of (max of d))
+    score_dark = -list_reduce(arc9(diffs, jnp.maximum), jnp.minimum)
+    score = jnp.maximum(jnp.maximum(score_bright, score_dark), 0.0)
 
     # zero outside the ring-interior of the *original* image before NMS so
     # suppression decisions match the unfused path (fast_score_map masks the
     # 3px border before nms3x3 sees it)
     local_r = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
     local_c = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-    global_r = i * TILE_ROWS + local_r - HALO
+    global_r = i * TILE_ROWS_A + local_r - HALO_A
     global_c = j * col_tile + local_c - COL_HALO
     inside = (
         (global_r >= 3) & (global_r < img_h - 3)
@@ -123,24 +140,38 @@ def _perception_kernel(img_hbm, raw_ref, score_ref, planes_ref, slab, sem,
         for dx in (-1, 0, 1):
             if dy or dx:
                 neigh = jnp.maximum(neigh, _roll2(score, dy, dx))
-    score_nms = jnp.where(score >= neigh, score, 0.0)
+    raw_ref[0, :, :] = central(score)
+    score_ref[0, :, :] = central(jnp.where(score >= neigh, score, 0.0))
+
+
+def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
+                  *, col_tile: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    rows = slab.shape[0]   # TILE_ROWS_B + 2*HALO_B
+    cols = slab.shape[1]
+
+    copy = pltpu.make_async_copy(
+        smooth_hbm.at[b, pl.ds(i * TILE_ROWS_B, rows), pl.ds(j * col_tile, cols)],
+        slab, sem,
+    )
+    copy.start()
+    copy.wait()
+    s = slab[:]
 
     def central(x):
-        x = jax.lax.slice_in_dim(x, HALO, HALO + TILE_ROWS, axis=0)
+        x = jax.lax.slice_in_dim(x, HALO_B, HALO_B + TILE_ROWS_B, axis=0)
         return jax.lax.slice_in_dim(x, COL_HALO, COL_HALO + col_tile, axis=1)
 
-    raw_ref[0, :, :] = central(score)
-    score_ref[0, :, :] = central(score_nms)
-
-    # ---- dense BRIEF-256 bit planes (packed 32 bits per uint32 word)
-    pat = test_pattern()  # static numpy [256, 2, 2]
+    pool = sample_pool()     # [64, 2] static numpy (dx, dy)
+    pairs = pair_indices()   # [256, 2] static numpy
+    samples = [_roll2(s, int(dy), int(dx)) for dx, dy in pool]
     for word in range(8):
-        acc = jnp.zeros_like(a, dtype=jnp.uint32)
+        acc = jnp.zeros_like(s, dtype=jnp.uint32)
         for bit_idx in range(32):
-            (dx1, dy1), (dx2, dy2) = pat[word * 32 + bit_idx]
-            bit = _roll2(smooth, int(dy1), int(dx1)) < _roll2(
-                smooth, int(dy2), int(dx2)
-            )
+            pi, pj = pairs[word * 32 + bit_idx]
+            bit = samples[pi] < samples[pj]
             acc = acc | (bit.astype(jnp.uint32) << np.uint32(bit_idx))
         planes_ref[0, word, :, :] = central(acc)
 
@@ -161,43 +192,68 @@ def perception_maps_batched(
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
-    n_tiles = -(-h // TILE_ROWS)
-    hp = n_tiles * TILE_ROWS
-    # row padding covers the row halo; column padding covers the column halo
-    # on the left and (halo + tile round-up) on the right
+
+    # ---- kernel A: raw score + NMS score + smooth
+    n_tiles_a = -(-h // TILE_ROWS_A)
+    hp_a = n_tiles_a * TILE_ROWS_A
     padded = jnp.pad(
         imgs,
-        ((0, 0), (HALO, hp - h + HALO), (COL_HALO, wp - w + COL_HALO)),
+        ((0, 0), (HALO_A, hp_a - h + HALO_A), (COL_HALO, wp - w + COL_HALO)),
     )
-
-    raw, score, planes = pl.pallas_call(
+    raw, score, smooth = pl.pallas_call(
         functools.partial(
-            _perception_kernel, img_h=h, img_w=w, col_tile=col_tile
+            _score_smooth_kernel, img_h=h, img_w=w, col_tile=col_tile
         ),
-        grid=(bsz, n_tiles, n_col),
+        grid=(bsz, n_tiles_a, n_col),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((1, TILE_ROWS, col_tile), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((1, TILE_ROWS_A, col_tile), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_ROWS, col_tile), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((1, TILE_ROWS_A, col_tile), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE_ROWS, col_tile),
-                         lambda b, i, j: (b, 0, i, j),
+            pl.BlockSpec((1, TILE_ROWS_A, col_tile), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 8, hp, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (TILE_ROWS + 2 * HALO, col_tile + 2 * COL_HALO), jnp.float32
+                (TILE_ROWS_A + 2 * HALO_A, col_tile + 2 * COL_HALO),
+                jnp.float32,
             ),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(padded)
+
+    # ---- kernel B: BRIEF planes from the smoothed image
+    n_tiles_b = -(-h // TILE_ROWS_B)
+    hp_b = n_tiles_b * TILE_ROWS_B
+    smooth_p = jnp.pad(
+        smooth[:, :h, :],
+        ((0, 0), (HALO_B, hp_b - h + HALO_B), (COL_HALO, COL_HALO)),
+    )
+    planes = pl.pallas_call(
+        functools.partial(_brief_kernel, col_tile=col_tile),
+        grid=(bsz, n_tiles_b, n_col),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 8, TILE_ROWS_B, col_tile), lambda b, i, j: (b, 0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, 8, hp_b, wp), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (TILE_ROWS_B + 2 * HALO_B, col_tile + 2 * COL_HALO),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(smooth_p)
 
     raw = raw[:, :h, :w]
     score = score[:, :h, :w]

@@ -42,7 +42,8 @@ def test_brief_planes_match_within_float_order(img, fused):
     )
     # identical except where the 9x9 box sums differ in summation order by
     # 1 ulp at a test pair's equality boundary
-    interior = (planes ^ want)[:, 28:-28, 28:-28]
+    m = brief.BORDER
+    interior = (planes ^ want)[:, m:-m, m:-m]
     diff_bits = np.unpackbits(interior.copy().view(np.uint8)).sum()
     total_bits = interior.size * 32
     assert diff_bits / total_bits < 1e-4, diff_bits

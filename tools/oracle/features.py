@@ -225,7 +225,10 @@ class FeaturesStruct:
                                          mask=mask)
         m = matches[0] if matches else []
         if len(m) > 1:
-            if m[0].distance / m[1].distance < self.tracking_ratio_th:
+            # C++ float semantics: d2 == 0 makes the ratio inf/NaN -> reject
+            if m[1].distance > 0 and (
+                m[0].distance / m[1].distance < self.tracking_ratio_th
+            ):
                 return m[0].trainIdx, m[0].distance, m[1].distance
         elif len(m) == 1 and m[0].distance <= self.desc_dist_th:
             return m[0].trainIdx, m[0].distance, -1.0
@@ -242,7 +245,9 @@ class FeaturesStruct:
         matches = self._matcher.knnMatch(desc[None, :], self.desc, k=2,
                                          mask=np.ascontiguousarray(mask))
         m = matches[0] if matches else []
-        if (len(m) > 1 and m[0].distance / m[1].distance < self.triangulation_ratio_th) or (
+        # C++ float semantics: d2 == 0 makes the ratio inf/NaN -> reject
+        if (len(m) > 1 and m[1].distance > 0
+                and m[0].distance / m[1].distance < self.triangulation_ratio_th) or (
             len(m) == 1 and m[0].distance <= self.desc_dist_th
         ):
             return m[0].trainIdx
