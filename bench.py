@@ -22,6 +22,7 @@ max(70, measured oracle fps) = 70.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -79,5 +80,67 @@ def main():
     }))
 
 
+def main_multistream():
+    """Config-4 benchmark shape: S = 8 x devices concurrent KITTI-geometry
+    streams, chunked frames, one dispatch per chunk, sharded over the mesh.
+    Reports aggregate frames/s/chip (all streams / wall time / devices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvt_tpu.io.synthetic import SyntheticWorld
+    from lvt_tpu.parallel.multistream import MultiStreamVO
+    from __graft_entry__ import _kitti_config
+
+    config = _kitti_config()
+    n_dev = len(jax.devices())
+    s = 8 * n_dev
+    chunk, n_chunks = 8, 4
+    world = SyntheticWorld(
+        width=config.img_width, height=config.img_height,
+        fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+        baseline=config.baseline, n_points=6000,
+        extent_x=80.0, extent_y=20.0, extent_z=160.0,
+    )
+    n_frames = chunk * (n_chunks + 1)
+    frames = list(world.stereo_sequence(n_frames, speed=0.9))
+    il = np.stack([
+        np.broadcast_to(f[0].astype(np.uint8), (s,) + f[0].shape)
+        for f in frames
+    ])
+    ir = np.stack([
+        np.broadcast_to(f[1].astype(np.uint8), (s,) + f[1].shape)
+        for f in frames
+    ])
+
+    msvo = MultiStreamVO(config, s)
+    # device-resident frames (outside the timed region, like the reference's
+    # imread; the streaming path overlaps uploads with compute)
+    il = jax.device_put(jnp.asarray(il), msvo.chunk_sharding)
+    ir = jax.device_put(jnp.asarray(ir), msvo.chunk_sharding)
+    jax.block_until_ready((il, ir))
+    poses, _ = msvo.track_chunk(il[:chunk], ir[:chunk])  # warmup: compiles
+    jax.block_until_ready(poses.t)
+
+    t0 = time.perf_counter()
+    for c in range(1, n_chunks + 1):
+        poses, _ = msvo.track_chunk(
+            il[c * chunk : (c + 1) * chunk], ir[c * chunk : (c + 1) * chunk]
+        )
+    jax.block_until_ready(poses.t)
+    dt = time.perf_counter() - t0
+
+    fps_per_chip = (n_chunks * chunk * s) / dt / n_dev
+    print(json.dumps({
+        "metric": f"frames/sec/chip (multistream S={s}, {n_dev} devices, "
+                  "KITTI-geometry stereo VO)",
+        "value": round(fps_per_chip, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_per_chip / BASELINE_FPS, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--multistream" in sys.argv:
+        main_multistream()
+    else:
+        main()

@@ -45,33 +45,7 @@ def run_kitti(args) -> int:
     recorder = ValueRecorder() if args.record else None
     vo = VOSystem(config, metrics_recorder=recorder)
 
-    poses = []
-    t0 = time.perf_counter()
-    if args.chunk > 1:
-        frames = list(seq)
-        n = len(frames)
-        for s in range(0, n, args.chunk):
-            block = frames[s : s + args.chunk]
-            il = np.stack([f[0] for f in block])
-            ir = np.stack([f[1] for f in block])
-            chunk_poses, _ = vo.track_chunk(il, ir)
-            k = len(block)
-            import jax
-
-            for i in range(k):
-                poses.append(jax.tree.map(lambda x: x[i], chunk_poses))
-            _progress(min(s + args.chunk, n) - 1, n, t0)
-            if vo.get_state() == TrackingState.LOST:
-                break
-    else:
-        for i, (img_l, img_r) in enumerate(seq):
-            poses.append(vo.track(img_l, img_r))
-            _progress(i, len(seq), t0)
-            if vo.get_state() == TrackingState.LOST:
-                break
-    total = time.perf_counter() - t0
-    print(f"\nAverage frame processing time: {total / max(len(poses), 1):.4f}s")
-
+    poses = _track_sequence(vo, seq, args.chunk)
     out = args.output or f"{args.seq:02d}.txt"
     dump_kitti(out, poses)
     print(f"trajectory written to {out}")
@@ -80,61 +54,93 @@ def run_kitti(args) -> int:
     return 0
 
 
+def _track_sequence(vo, seq, chunk: int):
+    """Shared per-frame / chunked tracking loop. Returns the pose list
+    (stops on LOST like the reference drivers, kitti_example.cpp:133-137)."""
+    import jax
+
+    from lvt_tpu.core.system import TrackingState
+
+    poses = []
+    t0 = time.perf_counter()
+    if chunk > 1:
+        frames = list(seq)
+        n = len(frames)
+        for s in range(0, n, chunk):
+            block = frames[s : s + chunk]
+            a = np.stack([f[0] for f in block])
+            b = np.stack([f[1] for f in block])
+            chunk_poses, _ = vo.track_chunk(a, b)
+            for i in range(len(block)):
+                poses.append(jax.tree.map(lambda x: x[i], chunk_poses))
+            _progress(min(s + chunk, n) - 1, n, t0)
+            if vo.get_state() == TrackingState.LOST:
+                break
+    else:
+        for i, (a, b) in enumerate(seq):
+            poses.append(vo.track(a, b))
+            _progress(i, len(seq), t0)
+            if vo.get_state() == TrackingState.LOST:
+                break
+    total = time.perf_counter() - t0
+    print(f"\nAverage frame processing time: {total / max(len(poses), 1):.4f}s")
+    return poses
+
+
 def run_euroc(args) -> int:
     from lvt_tpu.config import load_config
-    from lvt_tpu.core.system import TrackingState, VOSystem
+    from lvt_tpu.core.system import VOSystem
     from lvt_tpu.geometry.se3 import Pose
     from lvt_tpu.io.datasets import EUROC_T_BS, EurocSequence
     from lvt_tpu.io.trajectory import dump_tum
+    from lvt_tpu.observability import ValueRecorder
 
     seq = EurocSequence(args.root, args.dataset, args.stamps)
     cfg_path = args.config or os.path.join(CONFIG_DIR, "euroc", "vo_config.yaml")
     config = seq.configure(load_config(cfg_path))
-    vo = VOSystem(config)
+    recorder = ValueRecorder() if args.record else None
+    # rectification remap runs INSIDE the jitted step (raw frames in)
+    vo = VOSystem(config, metrics_recorder=recorder,
+                  rectify_maps=(seq.map_l, seq.map_r))
 
     import jax.numpy as jnp
 
-    poses = []
-    t0 = time.perf_counter()
-    for i, (img_l, img_r) in enumerate(seq):
-        rect_l, rect_r = seq.rectify(img_l, img_r)
-        cam_pose = vo.track(rect_l, rect_r)
-        # express in the body frame: T_BS * T_cam (euroc_example.cpp:153-158)
-        m = np.asarray(cam_pose.matrix44())
-        body = EUROC_T_BS @ m
-        poses.append(Pose.from_matrix44(jnp.asarray(body, jnp.float32)))
-        _progress(i, len(seq), t0)
-        if vo.get_state() == TrackingState.LOST:
-            break
+    cam_poses = _track_sequence(vo, seq, args.chunk)
+    # express in the body frame: T_BS * T_cam (euroc_example.cpp:153-158)
+    poses = [
+        Pose.from_matrix44(jnp.asarray(
+            EUROC_T_BS @ np.asarray(p.matrix44()), jnp.float32))
+        for p in cam_poses
+    ]
     out = args.output or f"{args.dataset}.txt"
     dump_tum(out, poses, seq.stamps[: len(poses)])
-    print(f"\ntrajectory written to {out}")
+    print(f"trajectory written to {out}")
+    if recorder:
+        recorder.finish()
     return 0
 
 
 def run_tum(args) -> int:
     from lvt_tpu.config import load_config
-    from lvt_tpu.core.system import SensorType, TrackingState, VOSystem
+    from lvt_tpu.core.system import SensorType, VOSystem
     from lvt_tpu.io.datasets import TumRgbdSequence
     from lvt_tpu.io.trajectory import dump_tum
+    from lvt_tpu.observability import ValueRecorder
 
     seq = TumRgbdSequence(args.dataset_dir, args.association)
     cfg_path = args.config or os.path.join(
         CONFIG_DIR, "tum_rgbd", f"config_tum{args.freiburg}.yaml"
     )
     config = load_config(cfg_path)
-    vo = VOSystem(config, SensorType.RGBD)
+    recorder = ValueRecorder() if args.record else None
+    vo = VOSystem(config, SensorType.RGBD, metrics_recorder=recorder)
 
-    poses = []
-    t0 = time.perf_counter()
-    for i, (gray, depth) in enumerate(seq):
-        poses.append(vo.track(gray, depth))
-        _progress(i, len(seq), t0)
-        if vo.get_state() == TrackingState.LOST:
-            break
+    poses = _track_sequence(vo, seq, args.chunk)
     out = args.output or "tum_trajectory.txt"
     dump_tum(out, poses, seq.stamps[: len(poses)])
-    print(f"\ntrajectory written to {out}")
+    print(f"trajectory written to {out}")
+    if recorder:
+        recorder.finish()
     return 0
 
 
@@ -197,6 +203,10 @@ def main(argv=None) -> int:
     e.add_argument("--stamps", default=None)
     e.add_argument("--config", default=None)
     e.add_argument("--output", default=None)
+    e.add_argument("--chunk", type=int, default=16,
+                   help="frames per device dispatch (1 = online mode)")
+    e.add_argument("--record", action="store_true",
+                   help="write per-frame metrics CSV (measurments.txt)")
     e.set_defaults(fn=run_euroc)
 
     t = sub.add_parser("tum", help="run a TUM RGB-D sequence")
@@ -205,6 +215,10 @@ def main(argv=None) -> int:
     t.add_argument("--freiburg", type=int, default=1, choices=(1, 2, 3))
     t.add_argument("--config", default=None)
     t.add_argument("--output", default=None)
+    t.add_argument("--chunk", type=int, default=16,
+                   help="frames per device dispatch (1 = online mode)")
+    t.add_argument("--record", action="store_true",
+                   help="write per-frame metrics CSV (measurments.txt)")
     t.set_defaults(fn=run_tum)
 
     s = sub.add_parser("synthetic", help="dataset-free synthetic-world run")

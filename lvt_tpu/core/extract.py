@@ -78,10 +78,12 @@ def _select_and_describe(raw, nms, planes, config: VOConfig) -> FrameFeatures:
 
 def extract_features_batched(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
     """[B, H, W] images -> batched FrameFeatures [B, kp_capacity]."""
-    raw, nms, planes = perception_batched(imgs, config)
-    return jax.vmap(lambda r, n, p: _select_and_describe(r, n, p, config))(
-        raw, nms, planes
-    )
+    with jax.named_scope("perception"):
+        raw, nms, planes = perception_batched(imgs, config)
+    with jax.named_scope("corner_select_describe"):
+        return jax.vmap(lambda r, n, p: _select_and_describe(r, n, p, config))(
+            raw, nms, planes
+        )
 
 
 def extract_features(img: jnp.ndarray, config: VOConfig) -> FrameFeatures:

@@ -86,16 +86,23 @@ def clean_untracked(
     match_idx: jnp.ndarray,       # [M] current-frame feature match per point
     feature_matched: jnp.ndarray,  # [K] bool
     untracked_threshold: int,
+    axis_name: str | None = None,
 ) -> tuple[PointStore, jnp.ndarray]:
     """Drop points with counter >= threshold; un-mark their matched image
     feature so it becomes available for triangulation
-    (lvt_local_map.cpp:393-413). Returns (store, updated feature_matched)."""
+    (lvt_local_map.cpp:393-413). Returns (store, updated feature_matched).
+
+    With ``axis_name`` (map sharded over a mesh axis), the un-mark mask is
+    OR-reduced across shards so every shard sees the same feature marks."""
+    from lvt_tpu.ops.matching import por_if
+
     k = feature_matched.shape[0]
     remove = store.valid & (store.counter >= untracked_threshold)
     unmark_src = remove & (match_idx >= 0)
     unmark = jnp.zeros((k + 1,), bool).at[
         jnp.where(unmark_src, match_idx, k)
     ].set(True)[:k]
+    unmark = por_if(unmark, axis_name)
     return (
         store._replace(valid=store.valid & ~remove),
         feature_matched & ~unmark,

@@ -49,6 +49,20 @@ def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def _psum_if(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _shard_partition_mask(k: int, axis_name) -> jnp.ndarray:
+    """Partition K replicated candidates across shards (round-robin), so
+    each triangulated point is inserted into exactly one map shard."""
+    if axis_name is None:
+        return jnp.ones((k,), bool)
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    return (jnp.arange(k) % n) == i
+
+
 def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
     """Visible pixel bounds; for distorted RGB-D input these are the
     undistorted corners (computed host-side, lvt_local_map.cpp:87-122)."""
@@ -77,6 +91,7 @@ def _triangulate_new_points(
     pose: Pose,
     config: VOConfig,
     rgbd: bool,
+    row_dist: jnp.ndarray | None = None,
 ):
     """Row-match + triangulate (stereo) or backproject (RGB-D).
 
@@ -98,6 +113,7 @@ def _triangulate_new_points(
         ratio_threshold=config.triangulation_ratio_test_threshold,
         abs_threshold=config.descriptor_matching_threshold,
         img_rows=config.img_height,
+        dist=row_dist,
     )
     k = left.kp.shape[0]
     uv_right = right.kp[jnp.clip(rm.right_idx, 0, k - 1)]
@@ -132,16 +148,20 @@ def _init_branch(
     right: FrameFeatures | None,
     config: VOConfig,
     rgbd: bool,
+    axis_name: str | None = None,
 ):
     """First frame: triangulate everything into the map at identity, the
     world frame anchor (lvt_system.cpp:185-193)."""
     identity = Pose.identity()
-    no_excl = jnp.zeros((left.kp.shape[0],), bool)
+    k = left.kp.shape[0]
+    no_excl = jnp.zeros((k,), bool)
     pts, desc, valid = _triangulate_new_points(
         left, right, no_excl, identity, config, rgbd
     )
-    ins = map_ops.insert_points(state.map, pts, desc, valid)
-    map_size = ins.store.size()
+    ins = map_ops.insert_points(
+        state.map, pts, desc, valid & _shard_partition_mask(k, axis_name)
+    )
+    map_size = _psum_if(ins.store.size(), axis_name)
     window = jnp.stack(
         [map_size.astype(jnp.float32),
          jnp.float32(MATCHES_WINDOW_INIT), jnp.float32(MATCHES_WINDOW_INIT)]
@@ -156,7 +176,7 @@ def _init_branch(
     metrics = StepMetrics.zero()._replace(
         map_points_count=map_size.astype(jnp.int32),
         image_keypoints=left.count().astype(jnp.int32),
-        triangulated_points=ins.n_inserted.astype(jnp.int32),
+        triangulated_points=_psum_if(ins.n_inserted, axis_name).astype(jnp.int32),
         status=jnp.asarray(TRACKING, jnp.int32),
     )
     return new_state, identity, metrics
@@ -169,6 +189,7 @@ def _staged_update(
     feature_matched: jnp.ndarray,
     map_size: jnp.ndarray,
     config: VOConfig,
+    axis_name: str | None = None,
 ):
     """Re-match staged points against the remaining unmatched features;
     delete misses, promote survivors (lvt_local_map.cpp:355-391).
@@ -202,13 +223,13 @@ def _staged_update(
         config.tracking_ratio_test_threshold,
         config.descriptor_matching_threshold,
     )
-    idx = hamming.resolve_one_to_one(idx, d1, k)
+    idx = hamming.resolve_one_to_one(idx, d1, k, axis_name=axis_name)
     matched = idx >= 0
 
     new_marks = jnp.zeros((k + 1,), bool).at[
         jnp.where(matched, idx, k)
     ].set(True)[:k]
-    feature_matched = feature_matched | new_marks
+    feature_matched = feature_matched | matching.por_if(new_marks, axis_name)
 
     ctr_next = staged.counter + 1
     promote = staged.valid & matched & (
@@ -235,6 +256,7 @@ def _local_ba_update(
     slots_invalidated: jnp.ndarray,  # [M] culled or recycled this frame
     frame_number: jnp.ndarray,
     config: VOConfig,
+    axis_name: str | None = None,
 ):
     """Slide the observation window and periodically run windowed BA
     (lvt_tpu.solver.bundle) over the last F poses + map structure.
@@ -273,6 +295,7 @@ def _local_ba_update(
             fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
             iterations=config.local_ba_iterations,
             reprojection_th2=config.reprojection_th2,
+            psum_axis=axis_name,
             # the stereo baseline already pins scale, so a single fixed pose
             # fully determines the gauge (fixing more anchors pose error)
             n_fixed_poses=1,
@@ -306,55 +329,76 @@ def _track_branch(
     right: FrameFeatures | None,
     config: VOConfig,
     rgbd: bool,
+    axis_name: str | None = None,
 ):
-    """Normal tracking frame (perform_tracking, lvt_system.cpp:252-306)."""
+    """Normal tracking frame (perform_tracking, lvt_system.cpp:252-306).
+
+    With ``axis_name`` set (sharded-map stream mode, BASELINE config 5) the
+    map/staged stores are blocks of a mesh-sharded whole: feature-space
+    arrays stay replicated, per-point work is local, and the cross-shard
+    quantities (match counts, one-to-one claims, PnP normal equations, map
+    sizes) reduce over ICI with psum/pmin inside the enclosing shard_map
+    (parallel/sharded_stream.py).
+
+    Pipeline stages carry jax.named_scope markers so profiler traces
+    (observability.profile_trace / xprof) attribute ops to the same stage
+    names the reference's trace log brackets (lvt_system.cpp:263-297)."""
     cam = _camera_kwargs(config)
     k = left.kp.shape[0]
 
     # motion prediction mutates velocity state regardless of the outcome
     # (lvt_motion_model.cpp:42-65 updates on every call)
-    motion, predicted = predict_next_pose(state.motion, state.pose)
+    with jax.named_scope("motion_predict"):
+        motion, predicted = predict_next_pose(state.motion, state.pose)
 
-    mm = matching.find_map_matches(
-        state.map.pos, state.map.desc, state.map.valid, predicted, left,
-        tracking_radius=config.tracking_radius,
-        ratio_threshold=config.tracking_ratio_test_threshold,
-        abs_threshold=config.descriptor_matching_threshold,
-        retry_min_matches=config.n_matches_threshold,
-        **cam,
-    )
+    with jax.named_scope("map_matching"):
+        mm = matching.find_map_matches(
+            state.map.pos, state.map.desc, state.map.valid, predicted, left,
+            tracking_radius=config.tracking_radius,
+            ratio_threshold=config.tracking_ratio_test_threshold,
+            abs_threshold=config.descriptor_matching_threshold,
+            retry_min_matches=config.n_matches_threshold,
+            axis_name=axis_name,
+            **cam,
+        )
     matches_count = mm.matches_count
     is_tracking = matches_count >= config.min_num_matches_for_tracking
 
     # --- PnP on the matched 2D-3D pairs
     obs = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
     weights = (mm.match_idx >= 0).astype(jnp.float32)
-    pnp = solve_pnp(
-        predicted, state.map.pos, obs, weights,
-        fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
-        reprojection_th2=config.reprojection_th2,
-    )
+    with jax.named_scope("pnp_solve"):
+        pnp = solve_pnp(
+            predicted, state.map.pos, obs, weights,
+            fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+            reprojection_th2=config.reprojection_th2,
+            axis_name=axis_name,
+        )
     pose_opt = pnp.pose
 
     # --- bookkeeping (applies even when tracking fails: the reference's
     # find_matches already mutated counters before the early return)
-    map_bookkept = map_ops.apply_match_bookkeeping(state.map, mm.match_idx)
+    with jax.named_scope("map_bookkeeping"):
+        map_bookkept = map_ops.apply_match_bookkeeping(state.map, mm.match_idx)
 
-    # --- full update path (only selected when tracking holds)
-    map_clean, feature_matched = map_ops.clean_untracked(
-        map_bookkept, mm.match_idx, mm.feature_matched,
-        config.untracked_threshold,
-    )
-    map_size = map_clean.size()
+        # --- full update path (only selected when tracking holds)
+        map_clean, feature_matched = map_ops.clean_untracked(
+            map_bookkept, mm.match_idx, mm.feature_matched,
+            config.untracked_threshold, axis_name=axis_name,
+        )
+    map_size = _psum_if(map_clean.size(), axis_name)
 
     if config.staged_threshold > 0:
-        staged_out, promo, feature_matched = _staged_update(
-            state.staged, pose_opt, left, feature_matched, map_size, config
-        )
-        p_pos, p_desc, p_ctr, p_age, p_mask = promo
-        ins_promo = map_ops.insert_points(
-            map_clean, p_pos, p_desc, p_mask, new_counter=p_ctr, new_age=p_age
-        )
+        with jax.named_scope("staged_update"):
+            staged_out, promo, feature_matched = _staged_update(
+                state.staged, pose_opt, left, feature_matched, map_size,
+                config, axis_name=axis_name,
+            )
+            p_pos, p_desc, p_ctr, p_age, p_mask = promo
+            ins_promo = map_ops.insert_points(
+                map_clean, p_pos, p_desc, p_mask, new_counter=p_ctr,
+                new_age=p_age,
+            )
         map_after_promo = ins_promo.store
     else:
         staged_out = state.staged
@@ -364,21 +408,38 @@ def _track_branch(
     window = jnp.concatenate(
         [state.last_matches[1:], matches_count[None].astype(jnp.float32)]
     )
-    need_tri = _policy_need_triangulation(config, window, map_after_promo.size())
+    map_size_after_promo = _psum_if(map_after_promo.size(), axis_name)
+    need_tri = _policy_need_triangulation(config, window, map_size_after_promo)
 
-    pts, desc, tri_valid = _triangulate_new_points(
-        left, right, feature_matched, pose_opt, config, rgbd
+    # one stereo Hamming matrix serves both the local-BA row match (over
+    # tracked features, below) and the triangulation row match (over
+    # untracked features) — complementary exclusion masks of the same pair
+    want_ba_rm = (
+        config.local_ba_window > 0 and not rgbd and config.baseline != 0.0
     )
-    tri_valid = tri_valid & need_tri
-    # destination: map directly if staging disabled or map below soft cap,
-    # else the staging buffer (lvt_local_map.cpp:343-352)
-    to_map = (config.staged_threshold == 0) | (
-        map_after_promo.size() < config.map_soft_cap
+    row_dist = (
+        hamming.hamming_matrix(left.desc, right.desc) if want_ba_rm else None
     )
-    ins_map = map_ops.insert_points(map_after_promo, pts, desc, tri_valid & to_map)
-    ins_staged = map_ops.insert_points(
-        staged_out, pts, desc, tri_valid & jnp.logical_not(to_map)
-    )
+
+    with jax.named_scope("triangulation"):
+        pts, desc, tri_valid = _triangulate_new_points(
+            left, right, feature_matched, pose_opt, config, rgbd,
+            row_dist=row_dist,
+        )
+        tri_valid = tri_valid & need_tri
+        # destination: map directly if staging disabled or map below soft
+        # cap, else the staging buffer (lvt_local_map.cpp:343-352); in
+        # sharded mode each shard inserts a round-robin subset
+        tri_valid = tri_valid & _shard_partition_mask(k, axis_name)
+        to_map = (config.staged_threshold == 0) | (
+            map_size_after_promo < config.map_soft_cap
+        )
+        ins_map = map_ops.insert_points(
+            map_after_promo, pts, desc, tri_valid & to_map
+        )
+        ins_staged = map_ops.insert_points(
+            staged_out, pts, desc, tri_valid & jnp.logical_not(to_map)
+        )
 
     # --- optional sliding-window local BA (structure + pose refinement)
     final_map = ins_map.store
@@ -391,28 +452,32 @@ def _track_branch(
             recycled = recycled | ins_promo.taken
         obs_new = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
         w_new = (mm.match_idx >= 0).astype(jnp.float32)
-        if rgbd or config.baseline == 0.0:
+        if not want_ba_rm:
             # no right camera: stereo anchoring unavailable, BA inert
             obs_r_new = jnp.zeros_like(obs_new)
             w_r_new = jnp.zeros_like(w_new)
         else:
             # right-camera observations of the *tracked* features: epipolar
-            # row match restricted to exactly the map-matched features
+            # row match restricted to exactly the map-matched features,
+            # reusing the Hamming matrix computed for triangulation above
             rm_ba = matching.row_match(
                 left, right, jnp.logical_not(mm.feature_matched),
                 vertical_search_radius=config.row_matching_vertical_search_radius,
                 ratio_threshold=config.triangulation_ratio_test_threshold,
                 abs_threshold=config.descriptor_matching_threshold,
                 img_rows=config.img_height,
+                dist=row_dist,
             )
             r_idx = rm_ba.right_idx[jnp.clip(mm.match_idx, 0, k - 1)]
             obs_r_new = right.kp[jnp.clip(r_idx, 0, k - 1)]
             w_r_new = ((mm.match_idx >= 0) & (r_idx >= 0)).astype(jnp.float32)
-        ba_window, pose_final, refined_pos = _local_ba_update(
-            state.ba, final_map, pose_opt, obs_new, w_new,
-            obs_r_new, w_r_new,
-            removed | recycled, state.frame_number, config,
-        )
+        with jax.named_scope("local_ba"):
+            ba_window, pose_final, refined_pos = _local_ba_update(
+                state.ba, final_map, pose_opt, obs_new, w_new,
+                obs_r_new, w_r_new,
+                removed | recycled, state.frame_number, config,
+                axis_name=axis_name,
+            )
         final_map = final_map._replace(pos=refined_pos)
 
     # --- select tracked vs lost outcomes
@@ -430,10 +495,13 @@ def _track_branch(
 
     matched_mask = mm.match_idx >= 0
     n_matched = jnp.maximum(matches_count, 1)
-    mean_of = lambda v: jnp.sum(jnp.where(matched_mask, v, 0.0)) / n_matched
+    mean_of = lambda v: _psum_if(
+        jnp.sum(jnp.where(matched_mask, v, 0.0)), axis_name
+    ) / n_matched
     metrics = StepMetrics(
-        map_points_count=state.map.size().astype(jnp.int32),
-        staged_points_count=state.staged.size().astype(jnp.int32),
+        map_points_count=_psum_if(state.map.size(), axis_name).astype(jnp.int32),
+        staged_points_count=_psum_if(
+            state.staged.size(), axis_name).astype(jnp.int32),
         image_keypoints=left.count().astype(jnp.int32),
         tracked_map_points=matches_count.astype(jnp.int32),
         mean_age=mean_of(map_bookkept.age.astype(jnp.float32)),
@@ -443,7 +511,9 @@ def _track_branch(
         mean_feature_y=mean_of(obs[:, 1]),
         inlier_count=pnp.inlier_count.astype(jnp.int32),
         triangulated_points=jnp.where(
-            is_tracking, ins_map.n_inserted + ins_staged.n_inserted, 0
+            is_tracking,
+            _psum_if(ins_map.n_inserted + ins_staged.n_inserted, axis_name),
+            0,
         ).astype(jnp.int32),
         used_wide_radius=mm.used_wide_radius,
         status=new_state.status,
@@ -451,11 +521,11 @@ def _track_branch(
     return new_state, out_pose, metrics
 
 
-def _lost_branch(state: VOState):
+def _lost_branch(state: VOState, axis_name: str | None = None):
     """Track called while lost: return last pose (lvt_system.cpp:161-166)."""
     new_state = state._replace(frame_number=state.frame_number + 1)
     metrics = StepMetrics.zero()._replace(
-        map_points_count=state.map.size().astype(jnp.int32),
+        map_points_count=_psum_if(state.map.size(), axis_name).astype(jnp.int32),
         status=jnp.asarray(LOST, jnp.int32),
     )
     return new_state, state.pose, metrics
@@ -467,12 +537,16 @@ def track_features(
     right: FrameFeatures | None,
     config: VOConfig,
     rgbd: bool,
+    axis_name: str | None = None,
 ):
-    """Status dispatch over already-extracted features."""
+    """Status dispatch over already-extracted features. ``axis_name`` marks
+    the map/staged/ba leaves of ``state`` as blocks sharded over that mesh
+    axis (call inside shard_map; the status scalar is replicated, so every
+    shard takes the same branch and the collectives inside line up)."""
     branches = [
-        lambda: _init_branch(state, left, right, config, rgbd),
-        lambda: _track_branch(state, left, right, config, rgbd),
-        lambda: _lost_branch(state),
+        lambda: _init_branch(state, left, right, config, rgbd, axis_name),
+        lambda: _track_branch(state, left, right, config, rgbd, axis_name),
+        lambda: _lost_branch(state, axis_name),
     ]
     return jax.lax.switch(
         jnp.clip(state.status, NOT_INITIALIZED, LOST) - NOT_INITIALIZED,
@@ -550,6 +624,51 @@ def track_chunk_rgbd(
         return s2, (pose, metrics)
 
     state, (poses, metrics) = jax.lax.scan(body, state, (imgs_gray, imgs_depth))
+    return state, poses, metrics
+
+
+def _rectify_pair(img_left, img_right, map_left, map_right):
+    """On-device stereo rectification (euroc_example.cpp:142-143's cv::remap
+    fused into the step; the maps are static per sequence)."""
+    from lvt_tpu.ops.undistort import remap_bilinear
+
+    with jax.named_scope("rectify"):
+        return (
+            remap_bilinear(img_left.astype(jnp.float32), map_left),
+            remap_bilinear(img_right.astype(jnp.float32), map_right),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_step_stereo_rectified(
+    state: VOState,
+    img_left: jnp.ndarray, img_right: jnp.ndarray,     # raw (distorted)
+    map_left: jnp.ndarray, map_right: jnp.ndarray,     # [H, W, 2] remaps
+    config: VOConfig,
+):
+    """Rectification + extraction + tracking as ONE compiled program."""
+    l, r = _rectify_pair(img_left, img_right, map_left, map_right)
+    return _track_frame_stereo(state, l, r, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_chunk_stereo_rectified(
+    state: VOState,
+    imgs_left: jnp.ndarray,   # [N, H, W] raw
+    imgs_right: jnp.ndarray,  # [N, H, W] raw
+    map_left: jnp.ndarray, map_right: jnp.ndarray,
+    config: VOConfig,
+):
+    """Chunked variant: remap happens inside the per-frame scan body, so a
+    whole rectified-dataset chunk is still one device dispatch."""
+
+    def body(s, frame):
+        il, ir = frame
+        l, r = _rectify_pair(il, ir, map_left, map_right)
+        s2, pose, metrics = _track_frame_stereo(s, l, r, config)
+        return s2, (pose, metrics)
+
+    state, (poses, metrics) = jax.lax.scan(body, state, (imgs_left, imgs_right))
     return state, poses, metrics
 
 

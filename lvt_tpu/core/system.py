@@ -43,11 +43,36 @@ class VOSystem:
         config: VOConfig,
         sensor_type: SensorType = SensorType.STEREO,
         metrics_recorder=None,
+        trace_log=None,
+        log_dir: str = ".",
+        rectify_maps: tuple | None = None,
     ):
         config.validate()
         self.config = config
         self.sensor_type = SensorType(sensor_type)
         self.metrics_recorder = metrics_recorder
+        # static per-sequence rectification remaps ([H, W, 2] left/right);
+        # when set, raw distorted frames go in and the remap runs INSIDE the
+        # jitted step (the reference remaps per frame on the CPU,
+        # euroc_example.cpp:142-143)
+        if rectify_maps is not None:
+            assert self.sensor_type == SensorType.STEREO
+            self.rectify_maps = (
+                jnp.asarray(rectify_maps[0], jnp.float32),
+                jnp.asarray(rectify_maps[1], jnp.float32),
+            )
+        else:
+            self.rectify_maps = None
+        # trace log wiring mirrors lvt_system::create's LVT_ENABLE_LOG block
+        # (lvt_system.cpp:106-116): created when config.enable_logging is
+        # set (or injected), parameters dumped at init
+        if trace_log is None and config.enable_logging:
+            from lvt_tpu.observability import TraceLog
+
+            trace_log = TraceLog(out_dir=log_dir)
+        self.trace_log = trace_log
+        if self.trace_log is not None:
+            self.trace_log.log_params(config)
         self.state = VOState.initial(
             config.max_map_points, config.max_staged_points,
             config.local_ba_window,
@@ -71,6 +96,8 @@ class VOSystem:
         self.last_metrics = None
         if self.metrics_recorder is not None:
             self.metrics_recorder.reset()
+        if self.trace_log is not None:
+            self.trace_log.log("VO was just reset.")
 
     # -- introspection --------------------------------------------------
     def get_state(self) -> TrackingState:
@@ -103,16 +130,33 @@ class VOSystem:
         self.last_metrics = metrics
         if self.metrics_recorder is not None:
             self.metrics_recorder.record_step(metrics)
+        if self.trace_log is not None:
+            # per-frame trace line like the reference's bracketing logs
+            # (lvt_system.cpp:159,174,258,265)
+            self.trace_log.log(
+                f"Frame #{int(self.state.frame_number)}: status="
+                f"{TrackingState(int(self.state.status)).name} "
+                f"matches={int(metrics.tracked_map_points)} "
+                f"inliers={int(metrics.inlier_count)} "
+                f"map={int(metrics.map_points_count)} "
+                f"keypoints={int(metrics.image_keypoints)}"
+            )
         return pose
 
     def track(self, img1, img2) -> Pose:
-        """One frame. Stereo: (left, right) rectified grayscale.
-        RGB-D: (grayscale, metric depth float32)."""
+        """One frame. Stereo: (left, right) grayscale — raw if rectify_maps
+        is set, pre-rectified otherwise. RGB-D: (gray, metric depth)."""
         if self.sensor_type == SensorType.STEREO:
-            out = step_mod.track_step_stereo(
-                self.state, self._prep_image(img1), self._prep_image(img2),
-                self.config,
-            )
+            if self.rectify_maps is not None:
+                out = step_mod.track_step_stereo_rectified(
+                    self.state, self._prep_image(img1),
+                    self._prep_image(img2), *self.rectify_maps, self.config,
+                )
+            else:
+                out = step_mod.track_step_stereo(
+                    self.state, self._prep_image(img1),
+                    self._prep_image(img2), self.config,
+                )
         else:
             depth = jnp.asarray(img2, jnp.float32)
             out = step_mod.track_step_rgbd(
@@ -160,9 +204,16 @@ class VOSystem:
         )
         assert a.ndim == 3 and b.shape == a.shape if self.sensor_type == SensorType.STEREO else True
         if self.sensor_type == SensorType.STEREO:
-            self.state, poses, metrics = step_mod.track_chunk_stereo(
-                self.state, a, b, self.config
-            )
+            if self.rectify_maps is not None:
+                self.state, poses, metrics = (
+                    step_mod.track_chunk_stereo_rectified(
+                        self.state, a, b, *self.rectify_maps, self.config
+                    )
+                )
+            else:
+                self.state, poses, metrics = step_mod.track_chunk_stereo(
+                    self.state, a, b, self.config
+                )
         else:
             self.state, poses, metrics = step_mod.track_chunk_rgbd(
                 self.state, a, b, self.config
@@ -180,19 +231,23 @@ class VOSystem:
     def save_checkpoint(self, path: str) -> None:
         """Snapshot the full VOState (a pytree) to disk. The reference has
         no checkpointing at all (SURVEY.md section 5); for long multi-stream runs
-        this makes the VO resumable."""
-        leaves, treedef = jax.tree.flatten(self.state)
-        np.savez(
-            path,
-            *[np.asarray(x) for x in leaves],
-            _sensor=int(self.sensor_type),
-        )
+        this makes the VO resumable. Leaves are keyed by their pytree path
+        (e.g. ``.map.pos``) so a field reorder can never mis-restore state."""
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.state)
+        arrays = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+        np.savez(path, _sensor=np.int64(int(self.sensor_type)), **arrays)
 
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path)
-        arrays = [data[k] for k in data.files if not k.startswith("_")]
-        _, treedef = jax.tree.flatten(self.state)
-        self.state = jax.tree.unflatten(treedef, [jnp.asarray(a) for a in arrays])
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self.state)
+        named = [k for k in data.files if not k.startswith("_")]
+        if any(k.startswith(".") for k in named):
+            leaves = [jnp.asarray(data[jax.tree_util.keystr(kp)])
+                      for kp, _ in flat]
+        else:
+            # legacy positional format (arr_0, arr_1, ...) from round 1
+            leaves = [jnp.asarray(data[k]) for k in named]
+        self.state = jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def pose_to_numpy(pose: Pose) -> tuple[np.ndarray, np.ndarray]:

@@ -12,7 +12,11 @@ means rather than one value per matched point — the aggregation divergence is
 deliberate and documented (SURVEY.md section 5).
 
 For kernel-level profiling use ``profile_trace`` (jax.profiler wrapper); the
-pipeline stages are annotated via jax.named_scope in profiling mode.
+pipeline stages carry ``jax.named_scope`` markers (core/step.py:
+motion_predict / map_matching / pnp_solve / map_bookkeeping / staged_update /
+triangulation / local_ba; core/extract.py: perception /
+corner_select_describe) so traces attribute ops to the same stages the
+reference's lvt_log brackets.
 """
 
 from __future__ import annotations

@@ -76,7 +76,8 @@ def accept_matches(
 
 
 def resolve_one_to_one(
-    match_idx: jnp.ndarray, d1: jnp.ndarray, num_targets: int
+    match_idx: jnp.ndarray, d1: jnp.ndarray, num_targets: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Make a tentative many-to-one matching one-to-one.
 
@@ -89,14 +90,28 @@ def resolve_one_to_one(
 
     match_idx: [Q] int32 in [-1, num_targets); d1: [Q] distances.
     Returns match_idx with conflict losers set to -1.
+
+    With ``axis_name`` set (queries sharded over a mesh axis, e.g. map-point
+    blocks in the sharded-map stream mode), the per-target minimum becomes a
+    global `pmin` over the axis; tie-breaking uses the GLOBAL query index so
+    the winner is identical on every shard.
     """
     q = match_idx.shape[0]
     valid = match_idx >= 0
+    if axis_name is not None:
+        n_shards = jax.lax.axis_size(axis_name)
+        qid = jax.lax.axis_index(axis_name) * q + jnp.arange(q, dtype=jnp.int32)
+        mult = n_shards * q + 1
+    else:
+        qid = jnp.arange(q, dtype=jnp.int32)
+        mult = q + 1
     # unique ordering key: distance then query index (distances are <= 256)
-    key = (d1.astype(jnp.int32) * (q + 1) + jnp.arange(q, dtype=jnp.int32))
+    key = d1.astype(jnp.int32) * mult + qid
     key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
     tgt = jnp.where(valid, match_idx, num_targets)
     best_key = jnp.full((num_targets + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
     best_key = best_key.at[tgt].min(key)
+    if axis_name is not None:
+        best_key = jax.lax.pmin(best_key, axis_name)
     won = valid & (best_key[tgt] == key)
     return jnp.where(won, match_idx, -1)

@@ -21,11 +21,24 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from lvt_tpu.core.features import FrameFeatures
 from lvt_tpu.geometry import se3
 from lvt_tpu.ops import hamming
+
+
+def psum_if(x, axis_name: str | None):
+    """psum over the mesh axis when the caller's arrays are sharded."""
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def por_if(mask, axis_name: str | None):
+    """Logical OR of a boolean mask across shards."""
+    if axis_name is None:
+        return mask
+    return jax.lax.psum(mask.astype(jnp.int32), axis_name) > 0
 
 
 class MapMatchResult(NamedTuple):
@@ -42,11 +55,12 @@ class MapMatchResult(NamedTuple):
     used_wide_radius: jnp.ndarray  # [] bool (the 2x-radius fallback fired)
 
 
-def _match_at_radius(dist, cand_base, dr2, radius, ratio_th, abs_th, num_feats):
+def _match_at_radius(dist, cand_base, dr2, radius, ratio_th, abs_th,
+                     num_feats, axis_name=None):
     cand = cand_base & (dr2 < jnp.float32(radius) ** 2)
     d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
     idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_th, abs_th)
-    idx = hamming.resolve_one_to_one(idx, d1, num_feats)
+    idx = hamming.resolve_one_to_one(idx, d1, num_feats, axis_name=axis_name)
     return idx, d1, d2
 
 
@@ -63,6 +77,7 @@ def find_map_matches(
     ratio_threshold: float,
     abs_threshold: float,
     retry_min_matches: int,      # LVT_N_MATCHES_TH == 50
+    axis_name: str | None = None,  # map points sharded over this mesh axis
 ) -> MapMatchResult:
     m = map_pos.shape[0]
     k = feats.kp.shape[0]
@@ -82,19 +97,21 @@ def find_map_matches(
     cand_base = visible[:, None] & feats.valid[None, :]
 
     idx1, d1a, d2a = _match_at_radius(
-        dist, cand_base, dr2, tracking_radius, ratio_threshold, abs_threshold, k
+        dist, cand_base, dr2, tracking_radius, ratio_threshold, abs_threshold,
+        k, axis_name=axis_name,
     )
-    count1 = jnp.sum(idx1 >= 0)
+    count1 = psum_if(jnp.sum(idx1 >= 0), axis_name)
 
     idx2, d1b, d2b = _match_at_radius(
-        dist, cand_base, dr2, 2 * tracking_radius, ratio_threshold, abs_threshold, k
+        dist, cand_base, dr2, 2 * tracking_radius, ratio_threshold,
+        abs_threshold, k, axis_name=axis_name,
     )
 
     use_wide = count1 < retry_min_matches
     idx = jnp.where(use_wide, idx2, idx1)
     d1 = jnp.where(use_wide, d1b, d1a)
     d2 = jnp.where(use_wide, d2b, d2a)
-    matches_count = jnp.sum(idx >= 0)
+    matches_count = psum_if(jnp.sum(idx >= 0), axis_name)
 
     match_idx = jnp.where(visible, jnp.where(idx >= 0, idx, -1), -2)
 
@@ -102,6 +119,9 @@ def find_map_matches(
     feature_matched = feature_matched.at[
         jnp.where(idx >= 0, idx, k)
     ].set(True)[:k]
+    # one-to-one resolution already guarantees each feature has at most one
+    # winner ACROSS shards, so the global claim mask is the OR of the shards'
+    feature_matched = por_if(feature_matched, axis_name)
     # slot k absorbed the non-matches; make sure padding stays unmatched
     feature_matched = feature_matched & feats.valid
 
@@ -133,6 +153,7 @@ def row_match(
     ratio_threshold: float,       # triangulation ratio (0.6)
     abs_threshold: float,
     img_rows: int,
+    dist: jnp.ndarray | None = None,  # optional precomputed Hamming [K, K]
 ) -> RowMatchResult:
     """Greedy epipolar row matching, vectorized.
 
@@ -140,6 +161,10 @@ def row_match(
     truncated to int and right candidates must satisfy
     floor(y_l) - r <= y_r <= floor(y_l) + r (clamped to the image)
     (lvt_image_features_struct.cpp:124-139).
+
+    ``dist`` lets callers that row-match the same stereo pair twice with
+    complementary exclusion masks (tracked features for BA observations,
+    untracked for triangulation) build the Hamming matrix only once.
     """
     k = left.kp.shape[0]
     query_ok = left.valid & ~left_excluded
@@ -155,7 +180,8 @@ def row_match(
         & (y_r[None, :] <= hi[:, None])
     )
 
-    dist = hamming.hamming_matrix(left.desc, right.desc)
+    if dist is None:
+        dist = hamming.hamming_matrix(left.desc, right.desc)
     d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
     idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_threshold, abs_threshold)
     idx = hamming.resolve_one_to_one(idx, d1, k)

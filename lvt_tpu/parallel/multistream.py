@@ -34,13 +34,7 @@ def batched_initial_state(config: VOConfig, n_streams: int) -> VOState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def multistream_step_stereo(
-    states: VOState,       # batched [S, ...]
-    imgs_left: jnp.ndarray,   # [S, H, W]
-    imgs_right: jnp.ndarray,  # [S, H, W]
-    config: VOConfig,
-):
+def _step_stereo_batched(states, imgs_left, imgs_right, config: VOConfig):
     """One frame for every stream. Feature extraction for all 2S images runs
     as ONE batched perception pass (the Pallas kernel batches via its grid,
     not vmap); the per-stream state machine is then vmapped, where lax.switch
@@ -59,11 +53,7 @@ def multistream_step_stereo(
     )(states, left, right)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def multistream_step_rgbd(
-    states: VOState, imgs_gray: jnp.ndarray, imgs_depth: jnp.ndarray,
-    config: VOConfig,
-):
+def _step_rgbd_batched(states, imgs_gray, imgs_depth, config: VOConfig):
     from lvt_tpu.core import extract
 
     feats = extract.extract_features_batched(
@@ -75,6 +65,55 @@ def multistream_step_rgbd(
         return step_mod.track_features(st, f, None, config, rgbd=True)
 
     return jax.vmap(one)(states, feats, imgs_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def multistream_step_stereo(
+    states: VOState,       # batched [S, ...]
+    imgs_left: jnp.ndarray,   # [S, H, W]
+    imgs_right: jnp.ndarray,  # [S, H, W]
+    config: VOConfig,
+):
+    return _step_stereo_batched(states, imgs_left, imgs_right, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def multistream_step_rgbd(
+    states: VOState, imgs_gray: jnp.ndarray, imgs_depth: jnp.ndarray,
+    config: VOConfig,
+):
+    return _step_rgbd_batched(states, imgs_gray, imgs_depth, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "auto_reset", "rgbd"))
+def multistream_chunk(
+    states: VOState,          # batched [S, ...]
+    imgs1: jnp.ndarray,       # [N, S, H, W] left (or grayscale for RGB-D)
+    imgs2: jnp.ndarray,       # [N, S, H, W] right (or float32 depth)
+    config: VOConfig,
+    auto_reset: bool = True,
+    rgbd: bool = False,
+):
+    """The config-4 benchmark shape: scan N frames of a sharded S-stream
+    batch in ONE dispatch. Per-step all 2S (or S) images are one perception
+    batch; per-stream LOST handling (optionally) auto-resets inside the scan
+    so a lost stream loses at most the remaining frames of the current
+    chunk's step, never stalling the others. Returns
+    (states, poses [N, S], metrics [N, S])."""
+
+    def body(st, frame):
+        a, b = frame
+        if rgbd:
+            st2, poses, metrics = _step_rgbd_batched(
+                st, a, b.astype(jnp.float32), config)
+        else:
+            st2, poses, metrics = _step_stereo_batched(st, a, b, config)
+        if auto_reset:
+            st2 = _reset_lost(st2, config)
+        return st2, (poses, metrics)
+
+    states, (poses, metrics) = jax.lax.scan(body, states, (imgs1, imgs2))
+    return states, poses, metrics
 
 
 def _apply_depth(feats, img_depth, config: VOConfig):
@@ -97,13 +136,8 @@ def _apply_depth(feats, img_depth, config: VOConfig):
     return feats._replace(kp=kp, depth=d, valid=valid)
 
 
-@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
-def reset_lost_streams(states: VOState, config: VOConfig) -> VOState:
-    """Per-stream auto-reset: any stream in LOST state is re-initialized in
-    place (the batched analogue of the ROS shell's reset-on-lost policy,
-    lvt_ros.cpp:241-254). The accumulated pose is preserved — matching
-    m_reset_pose_on_lost_vo == false — so odometry continues from where
-    tracking was lost."""
+def _reset_lost(states: VOState, config: VOConfig) -> VOState:
+    """Traced body of reset_lost_streams (shared with multistream_chunk)."""
     from lvt_tpu.core.state import LOST
 
     fresh = batched_initial_state(config, states.status.shape[0])
@@ -118,14 +152,25 @@ def reset_lost_streams(states: VOState, config: VOConfig) -> VOState:
     return out._replace(pose=states.pose)
 
 
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def reset_lost_streams(states: VOState, config: VOConfig) -> VOState:
+    """Per-stream auto-reset: any stream in LOST state is re-initialized in
+    place (the batched analogue of the ROS shell's reset-on-lost policy,
+    lvt_ros.cpp:241-254). The accumulated pose is preserved — matching
+    m_reset_pose_on_lost_vo == false — so odometry continues from where
+    tracking was lost."""
+    return _reset_lost(states, config)
+
+
 class MultiStreamVO:
-    """Driver for a sharded batch of concurrent VO streams."""
+    """Driver for a sharded batch of concurrent VO streams (stereo/RGB-D)."""
 
     def __init__(self, config: VOConfig, n_streams: int, mesh=None,
-                 auto_reset: bool = True):
+                 auto_reset: bool = True, rgbd: bool = False):
         config.validate()
         self.config = config
         self.n_streams = n_streams
+        self.rgbd = rgbd
         if mesh is None:
             # use the largest device count that divides the stream batch
             devs = jax.devices()
@@ -143,20 +188,41 @@ class MultiStreamVO:
             batched_initial_state(config, n_streams), sharding
         )
         self.image_sharding = sharding
+        # chunk batches are [N, S, H, W]: shard the stream axis (axis 1)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def track(self, imgs_left: np.ndarray, imgs_right: np.ndarray):
-        """imgs_*: [S, H, W]. Returns (poses: Pose[S], metrics)."""
-        il = jax.device_put(
-            jnp.asarray(imgs_left, jnp.float32), self.image_sharding
+        self.chunk_sharding = NamedSharding(
+            self.mesh, P(None, mesh_mod.STREAM_AXIS)
         )
-        ir = jax.device_put(
-            jnp.asarray(imgs_right, jnp.float32), self.image_sharding
-        )
-        self.states, poses, metrics = multistream_step_stereo(
-            self.states, il, ir, self.config
-        )
+
+    def _put2(self, imgs1, imgs2, sharding):
+        # dtype is preserved (uint8 uploads 4x less than float32; the jitted
+        # step casts on device); device_put on an already-sharded device
+        # array is a no-op, so callers can pre-upload outside timed regions
+        a = jax.device_put(jnp.asarray(imgs1), sharding)
+        b = jax.device_put(jnp.asarray(imgs2), sharding)
+        return a, b
+
+    def track(self, imgs1: np.ndarray, imgs2: np.ndarray):
+        """One frame per stream. imgs: [S, H, W] — stereo (left, right) or
+        RGB-D (grayscale, metric depth). Returns (poses: Pose[S], metrics)."""
+        a, b = self._put2(imgs1, imgs2, self.image_sharding)
+        step = multistream_step_rgbd if self.rgbd else multistream_step_stereo
+        self.states, poses, metrics = step(self.states, a, b, self.config)
         if self.auto_reset:
             self.states = reset_lost_streams(self.states, self.config)
+        return poses, metrics
+
+    def track_chunk(self, imgs1: np.ndarray, imgs2: np.ndarray):
+        """N frames for every stream in ONE dispatch. imgs: [N, S, H, W].
+        Returns (poses [N, S], metrics [N, S]). The production benchmark
+        shape (BASELINE config 4): per-frame host dispatch disappears and
+        per-stream auto-reset happens on device inside the scan."""
+        a, b = self._put2(imgs1, imgs2, self.chunk_sharding)
+        self.states, poses, metrics = multistream_chunk(
+            self.states, a, b, self.config,
+            auto_reset=self.auto_reset, rgbd=self.rgbd,
+        )
         return poses, metrics
 
     @property

@@ -107,8 +107,17 @@ def solve_pnp(
     *,
     fx, fy, cx, cy,
     reprojection_th2: float = 5.991,
+    axis_name: str | None = None,
 ) -> PnPResult:
-    """Robust LM PnP with the reference's 2x5 + outlier-demotion schedule."""
+    """Robust LM PnP with the reference's 2x5 + outlier-demotion schedule.
+
+    With ``axis_name`` set, the point blocks are sharded over that mesh axis
+    (inside shard_map) and every scalar reduction — H, g, chi2, inlier
+    count — is a `psum` over ICI: the distributed Schur-style block
+    reduction of SURVEY.md §2. Pose state stays replicated on every shard,
+    so the LM loop needs no further communication.
+    """
+    psum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
     dtype = points.dtype
     fx = jnp.asarray(fx, dtype)
     fy = jnp.asarray(fy, dtype)
@@ -125,7 +134,7 @@ def solve_pnp(
         r, _, _ = _project_residuals(r_wc, t_wc, points, obs, fx, fy, cx, cy)
         e2 = jnp.sum(r * r, -1)
         rho = delta2 * jnp.log1p(e2 / delta2)
-        return jnp.sum(w_mask * rho)
+        return psum(jnp.sum(w_mask * rho))
 
     def lm_iteration(state: _LMState, w_mask):
         r, p_cam, inv_z = _project_residuals(
@@ -136,8 +145,8 @@ def solve_pnp(
         jac = _jacobians(p_cam, inv_z, fx, fy)  # [M, 2, 6]
         # H = sum w J^T J, g = sum w J^T r  (the MXU-friendly reduction)
         jw = jac * w[:, None, None]
-        h = jnp.einsum("mki,mkj->ij", jw, jac)
-        g = jnp.einsum("mki,mk->i", jw, r)
+        h = psum(jnp.einsum("mki,mkj->ij", jw, jac))
+        g = psum(jnp.einsum("mki,mk->i", jw, r))
 
         step = jnp.linalg.solve(
             h + state.lam * jnp.eye(6, dtype=dtype), -g
@@ -160,7 +169,7 @@ def solve_pnp(
         e2 = jnp.sum(r * r, -1)
         w = w_mask * _cauchy_weights(e2, delta2)
         jac = _jacobians(p_cam, inv_z, fx, fy)
-        h_diag = jnp.einsum("m,mki,mki->i", w, jac, jac)
+        h_diag = psum(jnp.einsum("m,mki,mki->i", w, jac, jac))
         lam0 = LM_TAU * jnp.max(h_diag) + 1e-12
         state = _LMState(
             r_wc, t_wc, lam0, jnp.asarray(2.0, dtype),
@@ -189,6 +198,6 @@ def solve_pnp(
     return PnPResult(
         pose=pose,
         inlier_mask=inlier_mask,
-        inlier_count=jnp.sum(inlier_mask),
+        inlier_count=psum(jnp.sum(inlier_mask)),
         chi2=state.chi2,
     )

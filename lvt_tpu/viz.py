@@ -112,6 +112,42 @@ def plot_trajectories(
     return fig
 
 
+def feature_debug(vo, img: np.ndarray):
+    """Per-feature debug data for the age-colored overlay
+    (lvt_visualization::display_features, lvt_visualization.cpp:99-135).
+
+    Re-extracts the frame's features and matches them against the CURRENT
+    map at the current pose — the same jitted ops the tracking step uses,
+    run off the hot path for visualization only. Returns
+    (keypoints [K, 2], valid [K], matched_age [K]; age -1 = unmatched)."""
+    import jax.numpy as jnp
+
+    from lvt_tpu.core import extract, step as step_mod
+    from lvt_tpu.ops import matching
+
+    config = vo.config
+    feats = extract.extract_features(
+        jnp.asarray(img, jnp.float32), config
+    )
+    mm = matching.find_map_matches(
+        vo.state.map.pos, vo.state.map.desc, vo.state.map.valid,
+        vo.state.pose, feats,
+        tracking_radius=config.tracking_radius,
+        ratio_threshold=config.tracking_ratio_test_threshold,
+        abs_threshold=config.descriptor_matching_threshold,
+        retry_min_matches=config.n_matches_threshold,
+        **step_mod._camera_kwargs(config),
+    )
+    kp = np.asarray(feats.kp)
+    valid = np.asarray(feats.valid)
+    match_idx = np.asarray(mm.match_idx)
+    map_age = np.asarray(vo.state.map.age)
+    age = np.full(kp.shape[0], -1, np.int32)
+    hit = match_idx >= 0
+    age[match_idx[hit]] = map_age[hit]
+    return kp, valid, age
+
+
 class FrameDumper:
     """Optional per-frame artifact writer wired like the reference's
     visualization hooks: call after each tracked frame."""
@@ -127,9 +163,9 @@ class FrameDumper:
         self.trajectory.append(np.asarray(vo.last_pose.t).copy())
         if self._i % self.every == 0:
             if img is not None:
+                kp, valid, age = feature_debug(vo, img)
                 draw_features(
-                    img,
-                    np.zeros((0, 2)), np.zeros((0,), bool),
+                    img, kp, valid, matched_age=age,
                     out_path=os.path.join(self.out_dir,
                                           f"features_{self._i:06d}.png"),
                 )

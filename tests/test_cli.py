@@ -100,6 +100,98 @@ def test_tum_cli(tmp_path):
     assert ate_rmse_aligned(est, np.array(gt)) < 0.3
 
 
+def _render_euroc_raw(points, intensities, t_rect, right):
+    """Render a raw (distorted, unrectified) EuRoC camera frame: project
+    world points through R^-1 -> distort -> K, i.e. the inverse of the
+    rectification the CLI applies on device. Vectorized Gaussian splats."""
+    from lvt_tpu.io.datasets import (
+        EUROC_BASELINE, EUROC_DL, EUROC_DR, EUROC_KL, EUROC_KR, EUROC_RL,
+        EUROC_RR, EUROC_SIZE,
+    )
+
+    w, h = EUROC_SIZE
+    k_mat = EUROC_KR if right else EUROC_KL
+    dist = EUROC_DR if right else EUROC_DL
+    r_rect = EUROC_RR if right else EUROC_RL
+    t = t_rect + (np.array([EUROC_BASELINE, 0, 0]) if right else 0.0)
+    p_cam = (points - t) @ r_rect  # x_raw = R^-1 @ x_rect (R orthonormal)
+    z = p_cam[:, 2]
+    vis = z > 0.5
+    xn = p_cam[:, 0] / np.where(vis, z, 1.0)
+    yn = p_cam[:, 1] / np.where(vis, z, 1.0)
+    k1, k2, p1, p2, k3 = dist
+    r2 = xn * xn + yn * yn
+    radial = 1 + k1 * r2 + k2 * r2 * r2 + k3 * r2 ** 3
+    xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+    yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+    u = k_mat[0, 0] * xd + k_mat[0, 2]
+    v = k_mat[1, 1] * yd + k_mat[1, 2]
+    m = 4
+    vis &= (u > m) & (u < w - m) & (v > m) & (v < h - m)
+    img = np.full((h, w), 40.0, np.float32)
+    ku = np.arange(-m, m + 1)
+    for ui, vi, ii in zip(u[vis], v[vis], intensities[vis]):
+        x0, y0 = int(ui), int(vi)
+        g = np.exp(-(((y0 + ku - vi)[:, None]) ** 2
+                     + ((x0 + ku - ui)[None, :]) ** 2) / (2 * 1.1 ** 2))
+        img[y0 - m : y0 + m + 1, x0 - m : x0 + m + 1] += ii * g
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_euroc_cli(tmp_path):
+    """EuRoC layout end-to-end: raw distorted frames in, on-device
+    rectification inside the jitted step, body-frame TUM trajectory out."""
+    rs = np.random.RandomState(5)
+    n_pts = 2500
+    points = np.stack([
+        rs.uniform(-30, 30, n_pts), rs.uniform(-15, 15, n_pts),
+        rs.uniform(2.0, 60.0, n_pts),
+    ], -1)
+    intensities = rs.uniform(60.0, 215.0, n_pts)
+
+    root = tmp_path / "euroc"
+    cam0 = root / "V9_99_synthetic" / "mav0" / "cam0" / "data"
+    cam1 = root / "V9_99_synthetic" / "mav0" / "cam1" / "data"
+    cam0.mkdir(parents=True)
+    cam1.mkdir(parents=True)
+    stamps, gt = [], []
+    n = 8
+    for i in range(n):
+        t_rect = np.array([0.0, 0.0, 0.25 * i])
+        name = f"{1403636579763555584 + i * 50000000}"
+        cv2.imwrite(str(cam0 / f"{name}.png"),
+                    _render_euroc_raw(points, intensities, t_rect, False))
+        cv2.imwrite(str(cam1 / f"{name}.png"),
+                    _render_euroc_raw(points, intensities, t_rect, True))
+        stamps.append(name)
+        gt.append(t_rect)
+    stamps_file = tmp_path / "stamps.txt"
+    stamps_file.write_text("\n".join(stamps) + "\n")
+    cfg = tmp_path / "euroc.yaml"
+    cfg.write_text(
+        "near_plane_distance: 0.5\nfar_plane_distance: 100.0\n"
+        "agast_threshold: 15\ndetection_cell_size: 160\n"
+        "max_keypoints_per_cell: 60\nmax_map_points: 1024\n"
+        "max_staged_points: 1024\n"
+    )
+    out = str(tmp_path / "euroc_out.txt")
+    rc = main([
+        "euroc", "--root", str(root), "--dataset", "V9_99_synthetic",
+        "--stamps", str(stamps_file), "--config", str(cfg),
+        "--output", out, "--chunk", "4", "--record",
+    ])
+    assert rc == 0
+    ts, est = load_tum(out)
+    assert len(ts) == n
+    # SE(3) alignment absorbs the T_BS body-frame transform
+    assert ate_rmse_aligned(est, np.array(gt)) < 0.15
+    # --record produced the reference-format metrics artifacts
+    assert os.path.exists("measurments.txt") and os.path.exists("titles.txt")
+    assert len(open("measurments.txt").read().strip().splitlines()) == n
+    os.remove("measurments.txt")
+    os.remove("titles.txt")
+
+
 def test_synthetic_cli(capsys):
     rc = main(["synthetic", "--frames", "8"])
     assert rc == 0

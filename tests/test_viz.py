@@ -31,3 +31,23 @@ def test_draw_map_and_trajectory(tmp_path):
     p2 = viz.plot_trajectories({"est": np.array(traj)},
                                out_path=str(tmp_path / "t.png"))
     assert os.path.getsize(p2) > 1000
+
+
+def test_feature_overlay_from_live_tracked_frame(tmp_path):
+    """The age-colored feature display renders real per-feature match data
+    from a tracked frame (reference: lvt_visualization.cpp:99-135)."""
+    world = make_world()
+    vo = VOSystem(make_config(world))
+    dumper = viz.FrameDumper(str(tmp_path / "frames"), every=1)
+    last = None
+    for img_l, img_r, _ in world.stereo_sequence(4, speed=0.4):
+        vo.track(img_l, img_r)
+        last = img_l
+    kp, valid, age = viz.feature_debug(vo, last)
+    assert valid.any()
+    # after 3 tracked frames some features must match aged map points
+    assert (age[valid] >= 0).sum() > 10
+    assert (age > 0).any()
+    dumper.update(vo, last)
+    overlay = tmp_path / "frames" / "features_000000.png"
+    assert overlay.exists() and overlay.stat().st_size > 1000
