@@ -56,30 +56,38 @@ def run_kitti(args) -> int:
 
 def _track_sequence(vo, seq, chunk: int):
     """Shared per-frame / chunked tracking loop. Returns the pose list
-    (stops on LOST like the reference drivers, kitti_example.cpp:133-137)."""
+    (stops on LOST like the reference drivers, kitti_example.cpp:133-137).
+    Chunk mode streams: only `chunk` decoded frames are in host memory at a
+    time (a full EuRoC sequence would be ~2.5 GB if materialized)."""
+    import itertools
+
     import jax
 
     from lvt_tpu.core.system import TrackingState
 
+    n = len(seq)
     poses = []
     t0 = time.perf_counter()
     if chunk > 1:
-        frames = list(seq)
-        n = len(frames)
-        for s in range(0, n, chunk):
-            block = frames[s : s + chunk]
+        it = iter(seq)
+        done = 0
+        while True:
+            block = list(itertools.islice(it, chunk))
+            if not block:
+                break
             a = np.stack([f[0] for f in block])
             b = np.stack([f[1] for f in block])
             chunk_poses, _ = vo.track_chunk(a, b)
             for i in range(len(block)):
                 poses.append(jax.tree.map(lambda x: x[i], chunk_poses))
-            _progress(min(s + chunk, n) - 1, n, t0)
+            done += len(block)
+            _progress(done - 1, n, t0)
             if vo.get_state() == TrackingState.LOST:
                 break
     else:
         for i, (a, b) in enumerate(seq):
             poses.append(vo.track(a, b))
-            _progress(i, len(seq), t0)
+            _progress(i, n, t0)
             if vo.get_state() == TrackingState.LOST:
                 break
     total = time.perf_counter() - t0

@@ -91,9 +91,19 @@ class VOConfig:
     local_ba_every: int = 4        # run BA every N tracked frames
     local_ba_iterations: int = 6   # LM iterations per refinement
 
-    # ---- backend selection: fused Pallas perception kernel (None = auto:
+    # ---- backend selection: fused Pallas kernels (None = auto:
     # on for TPU backends, off elsewhere)
     use_pallas_perception: bool | None = None
+    # Hamming distances via an MXU +-1 bf16 matmul instead of the 8-pass
+    # XOR+popcount reduction (exact; None = auto on TPU)
+    use_mxu_hamming: bool | None = None
+    # fused masked top-2 matching kernel (ops/top2_pallas.py). Opt-in for
+    # now: interpret-mode-verified correct, but the Mosaic builds of three
+    # kernel instances per step are minutes-slow through this environment's
+    # remote-compile relay and one composed program hit a backend
+    # InvalidArgument at run time (scripts/profile_scan.py reproduces) —
+    # default stays on the XLA matching path until that is tracked down.
+    use_pallas_matching: bool | None = False
 
     # ---- observability
     enable_logging: bool = False

@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from lvt_tpu.core.state import PointStore
+from lvt_tpu.ops.collectives import por_if
 
 
 class InsertResult(NamedTuple):
@@ -94,8 +95,6 @@ def clean_untracked(
 
     With ``axis_name`` (map sharded over a mesh axis), the un-mark mask is
     OR-reduced across shards so every shard sees the same feature marks."""
-    from lvt_tpu.ops.matching import por_if
-
     k = feature_matched.shape[0]
     remove = store.valid & (store.counter >= untracked_threshold)
     unmark_src = remove & (match_idx >= 0)

@@ -41,6 +41,7 @@ from lvt_tpu.core.state import (
 from lvt_tpu.geometry import se3
 from lvt_tpu.geometry.se3 import Pose
 from lvt_tpu.ops import hamming, matching, triangulate
+from lvt_tpu.ops.collectives import psum_if as _psum_if
 from lvt_tpu.solver.pnp import solve_pnp
 
 
@@ -49,18 +50,17 @@ def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def _psum_if(x, axis_name):
-    return jax.lax.psum(x, axis_name) if axis_name is not None else x
-
-
-def _shard_partition_mask(k: int, axis_name) -> jnp.ndarray:
-    """Partition K replicated candidates across shards (round-robin), so
-    each triangulated point is inserted into exactly one map shard."""
+def _shard_partition_mask(insert_mask: jnp.ndarray, axis_name) -> jnp.ndarray:
+    """Partition replicated insertion candidates across shards so each
+    point lands in exactly one map shard, balanced by the candidates'
+    *valid rank* (round-robin over feature index would let clustered
+    candidates overfill one shard while others stay empty)."""
     if axis_name is None:
-        return jnp.ones((k,), bool)
+        return insert_mask
     n = jax.lax.axis_size(axis_name)
     i = jax.lax.axis_index(axis_name)
-    return (jnp.arange(k) % n) == i
+    rank = jnp.cumsum(insert_mask.astype(jnp.int32)) - 1
+    return insert_mask & ((rank % n) == i)
 
 
 def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
@@ -73,6 +73,18 @@ def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
         config.fx, config.fy, config.cx, config.cy,
         config.k1, config.k2, config.p1, config.p2, config.k3,
     )
+
+
+def _use_matching_kernel(config: VOConfig) -> bool:
+    if config.use_pallas_matching is not None:
+        return config.use_pallas_matching
+    return jax.default_backend() == "tpu"
+
+
+def _use_mxu_hamming(config: VOConfig) -> bool:
+    if config.use_mxu_hamming is not None:
+        return config.use_mxu_hamming
+    return jax.default_backend() == "tpu"
 
 
 def _camera_kwargs(config: VOConfig) -> dict:
@@ -114,6 +126,8 @@ def _triangulate_new_points(
         abs_threshold=config.descriptor_matching_threshold,
         img_rows=config.img_height,
         dist=row_dist,
+        use_kernel=_use_matching_kernel(config),
+        use_mxu=_use_mxu_hamming(config),
     )
     k = left.kp.shape[0]
     uv_right = right.kp[jnp.clip(rm.right_idx, 0, k - 1)]
@@ -159,7 +173,7 @@ def _init_branch(
         left, right, no_excl, identity, config, rgbd
     )
     ins = map_ops.insert_points(
-        state.map, pts, desc, valid & _shard_partition_mask(k, axis_name)
+        state.map, pts, desc, _shard_partition_mask(valid, axis_name)
     )
     map_size = _psum_if(ins.store.size(), axis_name)
     window = jnp.stack(
@@ -201,6 +215,7 @@ def _staged_update(
     """
     cam = _camera_kwargs(config)
     k = feats.kp.shape[0]
+    use_kernel = _use_matching_kernel(config)
     w2c = se3.world_to_camera(pose)
     pts_cam = se3.transform_points(w2c, staged.pos)
     uv = se3.project_points(pts_cam, config.fx, config.fy, config.cx, config.cy)
@@ -208,16 +223,13 @@ def _staged_update(
         pts_cam, uv, cam["near"], cam["far"],
         cam["min_x"], cam["max_x"], cam["min_y"], cam["max_y"],
     )
-    dist = hamming.hamming_matrix(staged.desc, feats.desc)
-    diff = feats.kp[None, :, :] - uv[:, None, :]
-    dr2 = jnp.sum(diff * diff, axis=-1)
-    cand = (
-        visible[:, None]
-        & feats.valid[None, :]
-        & jnp.logical_not(feature_matched)[None, :]
-        & (dr2 < jnp.float32(config.tracking_radius) ** 2)
+    dist = hamming.hamming_matrix(staged.desc, feats.desc,
+                                  use_mxu=_use_mxu_hamming(config))
+    (d1, d2, best, n_cand), _ = matching.dual_radius_top2(
+        dist, uv, visible, feats.kp,
+        feats.valid & jnp.logical_not(feature_matched),
+        config.tracking_radius, config.tracking_radius, use_kernel,
     )
-    d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
     idx = hamming.accept_matches(
         d1, d2, best, n_cand,
         config.tracking_ratio_test_threshold,
@@ -359,6 +371,8 @@ def _track_branch(
             abs_threshold=config.descriptor_matching_threshold,
             retry_min_matches=config.n_matches_threshold,
             axis_name=axis_name,
+            use_kernel=_use_matching_kernel(config),
+            use_mxu=_use_mxu_hamming(config),
             **cam,
         )
     matches_count = mm.matches_count
@@ -418,7 +432,9 @@ def _track_branch(
         config.local_ba_window > 0 and not rgbd and config.baseline != 0.0
     )
     row_dist = (
-        hamming.hamming_matrix(left.desc, right.desc) if want_ba_rm else None
+        hamming.hamming_matrix(left.desc, right.desc,
+                               use_mxu=_use_mxu_hamming(config))
+        if want_ba_rm else None
     )
 
     with jax.named_scope("triangulation"):
@@ -429,8 +445,8 @@ def _track_branch(
         tri_valid = tri_valid & need_tri
         # destination: map directly if staging disabled or map below soft
         # cap, else the staging buffer (lvt_local_map.cpp:343-352); in
-        # sharded mode each shard inserts a round-robin subset
-        tri_valid = tri_valid & _shard_partition_mask(k, axis_name)
+        # sharded mode each shard inserts a rank-balanced subset
+        tri_valid = _shard_partition_mask(tri_valid, axis_name)
         to_map = (config.staged_threshold == 0) | (
             map_size_after_promo < config.map_soft_cap
         )
@@ -467,6 +483,8 @@ def _track_branch(
                 abs_threshold=config.descriptor_matching_threshold,
                 img_rows=config.img_height,
                 dist=row_dist,
+                use_kernel=_use_matching_kernel(config),
+                use_mxu=_use_mxu_hamming(config),
             )
             r_idx = rm_ba.right_idx[jnp.clip(mm.match_idx, 0, k - 1)]
             obs_r_new = right.kp[jnp.clip(r_idx, 0, k - 1)]

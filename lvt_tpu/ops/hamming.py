@@ -22,14 +22,28 @@ DESC_WORDS = 8  # 256-bit BRIEF descriptors as 8 x uint32
 BIG = jnp.float32(1.0e9)
 
 
-def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray,
+                   use_mxu: bool = False) -> jnp.ndarray:
     """Dense Hamming distance matrix between packed descriptors.
 
     a: [N, W] uint32, b: [K, W] uint32  ->  [N, K] int32.
 
-    Unrolled over the (static, small) word axis so XLA keeps a single [N, K]
-    accumulator live instead of an [N, K, W] intermediate.
-    """
+    Default path: XOR + popcount, unrolled over the (static, small) word
+    axis so XLA keeps a single [N, K] accumulator live instead of an
+    [N, K, W] intermediate. With ``use_mxu`` the descriptors unpack to
+    +-1 bfloat16 rows and the distance comes off the systolic array:
+    dot(s_a, s_b) = matches - mismatches = bits - 2*hamming, which is EXACT
+    (|dot| <= 256 and f32 accumulation; verified bit-identical in
+    tests/test_hamming.py) and turns the O(N*K*W) VPU reduction into one
+    MXU matmul — the right trade on TPU for frame-sized N, K."""
+    if use_mxu:
+        n_bits = a.shape[1] * 32
+        dot = jax.lax.dot_general(
+            _unpack_pm1(a), _unpack_pm1(b),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return ((n_bits - dot) * 0.5).astype(jnp.int32)
     n, w = a.shape
     k = b.shape[0]
     d = jnp.zeros((n, k), jnp.int32)
@@ -37,6 +51,15 @@ def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         x = a[:, i][:, None] ^ b[None, :, i]
         d = d + jax.lax.population_count(x).astype(jnp.int32)
     return d
+
+
+def _unpack_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """[N, W] uint32 -> [N, 32*W] bfloat16 in {-1, +1} (bit order is
+    irrelevant as long as both operands agree)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    flat = bits.reshape(desc.shape[0], desc.shape[1] * 32)
+    return (flat.astype(jnp.bfloat16) * 2 - 1)
 
 
 def masked_top2(

@@ -27,18 +27,7 @@ import jax.numpy as jnp
 from lvt_tpu.core.features import FrameFeatures
 from lvt_tpu.geometry import se3
 from lvt_tpu.ops import hamming
-
-
-def psum_if(x, axis_name: str | None):
-    """psum over the mesh axis when the caller's arrays are sharded."""
-    return jax.lax.psum(x, axis_name) if axis_name is not None else x
-
-
-def por_if(mask, axis_name: str | None):
-    """Logical OR of a boolean mask across shards."""
-    if axis_name is None:
-        return mask
-    return jax.lax.psum(mask.astype(jnp.int32), axis_name) > 0
+from lvt_tpu.ops.collectives import por_if, psum_if
 
 
 class MapMatchResult(NamedTuple):
@@ -55,10 +44,37 @@ class MapMatchResult(NamedTuple):
     used_wide_radius: jnp.ndarray  # [] bool (the 2x-radius fallback fired)
 
 
-def _match_at_radius(dist, cand_base, dr2, radius, ratio_th, abs_th,
-                     num_feats, axis_name=None):
-    cand = cand_base & (dr2 < jnp.float32(radius) ** 2)
-    d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
+def dual_radius_top2(
+    dist, q_uv, q_valid, t_kp, t_valid, radius_a, radius_b,
+    use_kernel: bool,
+):
+    """Masked top-2 under two radius predicates from one distance matrix.
+
+    Kernel path: ops.top2_pallas (one VMEM pass, both radii). XLA path:
+    materialized masks + hamming.masked_top2 (identical semantics; kept for
+    CPU and as the oracle of tests/test_top2_pallas.py)."""
+    if use_kernel:
+        from lvt_tpu.ops.top2_pallas import masked_dual_top2
+
+        return masked_dual_top2(
+            dist, q_uv, q_valid, t_kp, t_valid,
+            r2a=float(radius_a) ** 2, r2b=float(radius_b) ** 2,
+        )
+    diff = t_kp[None, :, :] - q_uv[:, None, :]
+    dr2 = jnp.sum(diff * diff, axis=-1)
+    base = q_valid[:, None] & t_valid[None, :]
+    out = []
+    for radius in (radius_a, radius_b):
+        if out and radius == radius_a:
+            out.append(out[0])  # single-radius callers pass b == a
+            break
+        cand = base & (dr2 < jnp.float32(radius) ** 2)
+        out.append(hamming.masked_top2(dist, cand))
+    return tuple(out)
+
+
+def _accept_resolve(top2, ratio_th, abs_th, num_feats, axis_name):
+    d1, d2, best, n_cand = top2
     idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_th, abs_th)
     idx = hamming.resolve_one_to_one(idx, d1, num_feats, axis_name=axis_name)
     return idx, d1, d2
@@ -78,6 +94,8 @@ def find_map_matches(
     abs_threshold: float,
     retry_min_matches: int,      # LVT_N_MATCHES_TH == 50
     axis_name: str | None = None,  # map points sharded over this mesh axis
+    use_kernel: bool = False,      # fused Pallas top-2 (opt-in)
+    use_mxu: bool = False,         # MXU matmul Hamming (auto on TPU)
 ) -> MapMatchResult:
     m = map_pos.shape[0]
     k = feats.kp.shape[0]
@@ -90,22 +108,19 @@ def find_map_matches(
     )
 
     # one Hamming matrix serves both radius passes
-    dist = hamming.hamming_matrix(map_desc, feats.desc)  # [M, K]
+    dist = hamming.hamming_matrix(map_desc, feats.desc,
+                                  use_mxu=use_mxu)  # [M, K]
 
-    diff = feats.kp[None, :, :] - uv[:, None, :]
-    dr2 = jnp.sum(diff * diff, axis=-1)  # [M, K]
-    cand_base = visible[:, None] & feats.valid[None, :]
-
-    idx1, d1a, d2a = _match_at_radius(
-        dist, cand_base, dr2, tracking_radius, ratio_threshold, abs_threshold,
-        k, axis_name=axis_name,
+    top2_narrow, top2_wide = dual_radius_top2(
+        dist, uv, visible, feats.kp, feats.valid,
+        tracking_radius, 2 * tracking_radius, use_kernel,
     )
+    idx1, d1a, d2a = _accept_resolve(
+        top2_narrow, ratio_threshold, abs_threshold, k, axis_name)
     count1 = psum_if(jnp.sum(idx1 >= 0), axis_name)
 
-    idx2, d1b, d2b = _match_at_radius(
-        dist, cand_base, dr2, 2 * tracking_radius, ratio_threshold,
-        abs_threshold, k, axis_name=axis_name,
-    )
+    idx2, d1b, d2b = _accept_resolve(
+        top2_wide, ratio_threshold, abs_threshold, k, axis_name)
 
     use_wide = count1 < retry_min_matches
     idx = jnp.where(use_wide, idx2, idx1)
@@ -154,6 +169,8 @@ def row_match(
     abs_threshold: float,
     img_rows: int,
     dist: jnp.ndarray | None = None,  # optional precomputed Hamming [K, K]
+    use_kernel: bool = False,
+    use_mxu: bool = False,
 ) -> RowMatchResult:
     """Greedy epipolar row matching, vectorized.
 
@@ -172,17 +189,27 @@ def row_match(
     y_l = jnp.floor(left.kp[:, 1])
     lo = jnp.maximum(y_l - vertical_search_radius, 0.0)
     hi = jnp.minimum(y_l + vertical_search_radius, float(img_rows))
-    y_r = right.kp[:, 1]
-    cand = (
-        query_ok[:, None]
-        & right.valid[None, :]
-        & (y_r[None, :] >= lo[:, None])
-        & (y_r[None, :] <= hi[:, None])
-    )
-
     if dist is None:
-        dist = hamming.hamming_matrix(left.desc, right.desc)
-    d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
+        dist = hamming.hamming_matrix(left.desc, right.desc,
+                                      use_mxu=use_mxu)
+
+    if use_kernel:
+        from lvt_tpu.ops.top2_pallas import masked_dual_top2
+
+        window = jnp.stack([lo, hi], axis=-1)
+        (d1, d2, best, n_cand), _ = masked_dual_top2(
+            dist, window, query_ok, right.kp, right.valid,
+            r2a=0.0, r2b=0.0, row_mode=True,
+        )
+    else:
+        y_r = right.kp[:, 1]
+        cand = (
+            query_ok[:, None]
+            & right.valid[None, :]
+            & (y_r[None, :] >= lo[:, None])
+            & (y_r[None, :] <= hi[:, None])
+        )
+        d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
     idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_threshold, abs_threshold)
     idx = hamming.resolve_one_to_one(idx, d1, k)
 

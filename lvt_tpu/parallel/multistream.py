@@ -85,7 +85,8 @@ def multistream_step_rgbd(
     return _step_rgbd_batched(states, imgs_gray, imgs_depth, config)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "auto_reset", "rgbd"))
+@functools.partial(jax.jit, static_argnames=("config", "auto_reset", "rgbd"),
+                   donate_argnums=(0,))
 def multistream_chunk(
     states: VOState,          # batched [S, ...]
     imgs1: jnp.ndarray,       # [N, S, H, W] left (or grayscale for RGB-D)

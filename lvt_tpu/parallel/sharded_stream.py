@@ -18,8 +18,14 @@ runs inside ONE ``shard_map``:
 Numerically this computes the same map SET and the same pose trajectory as
 the unsharded step (slot layout differs; float reduction order may perturb
 the LM at the last ulp) — asserted by tests/test_sharded_stream.py on
-identical frames. The reference has no counterpart (single-threaded C++);
-this is the SURVEY.md §2 parallelism-inventory item (c).
+identical frames. Caveat at capacity: insertions partition across shards by
+valid-candidate rank, so once an individual shard's block fills, its subset
+of new points drops even if another shard still has free slots — whereas
+the unsharded map fills any global free slot. Size the per-shard capacity
+(max_map_points / n_shards) with the same headroom you would give a single
+chip; the equivalence guarantee holds below that fill level. The reference
+has no counterpart (single-threaded C++); this is the SURVEY.md §2
+parallelism-inventory item (c).
 """
 
 from __future__ import annotations
@@ -73,18 +79,18 @@ def _metrics_specs() -> StepMetrics:
     return _rep_like(StepMetrics.zero())
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "axis"))
 def track_step_stereo_sharded(
     state: VOState, img_left: jnp.ndarray, img_right: jnp.ndarray,
-    config: VOConfig, mesh,
+    config: VOConfig, mesh, axis: str = POINT_AXIS,
 ):
-    """One stereo frame with the map sharded over the `points` mesh axis."""
+    """One stereo frame with the map sharded over the `axis` mesh axis."""
     left, right = extract.extract_features_stereo(img_left, img_right, config)
-    specs = state_specs()
+    specs = state_specs(axis)
     feat_rep = _rep_like(left)
     fn = shard_map(
         lambda st, l, r: step_mod.track_features(
-            st, l, r, config, rgbd=False, axis_name=POINT_AXIS
+            st, l, r, config, rgbd=False, axis_name=axis
         ),
         mesh=mesh,
         in_specs=(specs, feat_rep, feat_rep),
@@ -94,15 +100,15 @@ def track_step_stereo_sharded(
     return fn(state, left, right)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+@functools.partial(jax.jit, static_argnames=("config", "mesh", "axis"))
 def track_chunk_stereo_sharded(
     state: VOState,
     imgs_left: jnp.ndarray,   # [N, H, W]
     imgs_right: jnp.ndarray,  # [N, H, W]
-    config: VOConfig, mesh,
+    config: VOConfig, mesh, axis: str = POINT_AXIS,
 ):
     """Chunked sharded-map tracking: one dispatch per N-frame chunk."""
-    specs = state_specs()
+    specs = state_specs(axis)
 
     def body(st, frame):
         il, ir = frame
@@ -112,7 +118,7 @@ def track_chunk_stereo_sharded(
         feat_rep = _rep_like(left)
         st2, pose, metrics = shard_map(
             lambda s, l, r: step_mod.track_features(
-                s, l, r, config, rgbd=False, axis_name=POINT_AXIS
+                s, l, r, config, rgbd=False, axis_name=axis
             ),
             mesh=mesh,
             in_specs=(specs, feat_rep, feat_rep),
@@ -131,6 +137,7 @@ class ShardedStreamVO:
     def __init__(self, config: VOConfig, mesh=None, axis: str = POINT_AXIS):
         config.validate()
         self.config = config
+        self.axis = axis
         if mesh is None:
             mesh = jax.sharding.Mesh(np.array(jax.devices()), (axis,))
         self.mesh = mesh
@@ -147,19 +154,22 @@ class ShardedStreamVO:
             state,
             jax.tree.map(lambda s: NamedSharding(mesh, s), state_specs(axis)),
         )
+        self.last_metrics = None
 
     def track(self, img_left, img_right) -> Pose:
         self.state, pose, self.last_metrics = track_step_stereo_sharded(
             self.state, jnp.asarray(img_left, jnp.float32),
             jnp.asarray(img_right, jnp.float32), self.config, self.mesh,
+            self.axis,
         )
         return pose
 
     def track_chunk(self, imgs_left, imgs_right):
         self.state, poses, metrics = track_chunk_stereo_sharded(
             self.state, jnp.asarray(imgs_left), jnp.asarray(imgs_right),
-            self.config, self.mesh,
+            self.config, self.mesh, self.axis,
         )
+        self.last_metrics = jax.tree.map(lambda x: x[-1], metrics)
         return poses, metrics
 
     @property

@@ -118,7 +118,9 @@ def feature_debug(vo, img: np.ndarray):
 
     Re-extracts the frame's features and matches them against the CURRENT
     map at the current pose — the same jitted ops the tracking step uses,
-    run off the hot path for visualization only. Returns
+    run off the hot path for visualization only. Pass the same image you
+    passed to track(); if the VOSystem carries rectify_maps, the raw frame
+    is rectified here too so the overlay matches what the step saw. Returns
     (keypoints [K, 2], valid [K], matched_age [K]; age -1 = unmatched)."""
     import jax.numpy as jnp
 
@@ -126,9 +128,13 @@ def feature_debug(vo, img: np.ndarray):
     from lvt_tpu.ops import matching
 
     config = vo.config
-    feats = extract.extract_features(
-        jnp.asarray(img, jnp.float32), config
-    )
+    img = jnp.asarray(img, jnp.float32)
+    maps = getattr(vo, "rectify_maps", None)
+    if maps is not None:
+        from lvt_tpu.ops.undistort import remap_bilinear
+
+        img = remap_bilinear(img, maps[0])
+    feats = extract.extract_features(img, config)
     mm = matching.find_map_matches(
         vo.state.map.pos, vo.state.map.desc, vo.state.map.valid,
         vo.state.pose, feats,

@@ -93,6 +93,17 @@ def test_sharded_chunk_matches_per_frame():
     assert a.map_size == b.map_size
 
 
+def test_custom_axis_name_tracks():
+    """The axis parameter must thread through to the jitted step (it used
+    to be silently ignored, crashing on any non-default mesh axis)."""
+    cfg, frames = make_setup()
+    svo = ShardedStreamVO(cfg, axis="blocks")
+    img_l, img_r, _ = frames[0]
+    svo.track(img_l, img_r)
+    assert svo.status == TRACKING
+    assert svo.state.map.pos.sharding.spec[0] == "blocks"
+
+
 def test_sharded_state_is_actually_sharded():
     cfg, frames = make_setup()
     svo = ShardedStreamVO(cfg)
