@@ -76,9 +76,10 @@ def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
 
 
 def _use_matching_kernel(config: VOConfig) -> bool:
-    if config.use_pallas_matching is not None:
-        return config.use_pallas_matching
-    return jax.default_backend() == "tpu"
+    # None currently means OFF (not auto-on-TPU like the sibling flags):
+    # the fused kernel is opt-in until the backend issue noted in
+    # config.use_pallas_matching is resolved
+    return bool(config.use_pallas_matching)
 
 
 def _use_mxu_hamming(config: VOConfig) -> bool:

@@ -34,7 +34,8 @@ def hamming_matrix(a: jnp.ndarray, b: jnp.ndarray,
     +-1 bfloat16 rows and the distance comes off the systolic array:
     dot(s_a, s_b) = matches - mismatches = bits - 2*hamming, which is EXACT
     (|dot| <= 256 and f32 accumulation; verified bit-identical in
-    tests/test_hamming.py) and turns the O(N*K*W) VPU reduction into one
+    tests/test_top2_pallas.py::test_mxu_hamming_is_exact) and turns the
+    O(N*K*W) VPU reduction into one
     MXU matmul — the right trade on TPU for frame-sized N, K."""
     if use_mxu:
         n_bits = a.shape[1] * 32

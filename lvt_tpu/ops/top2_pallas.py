@@ -48,13 +48,14 @@ def _top2_kernel(dist_ref, qm_ref, tm_ref, out_ref,
     if row_mode:
         # q cols 0/1 carry the (lo, hi) row window; predicate ignores r2
         ty = t[1:2, :]
-        pred_sp = (ty >= q[:, 0:1]) & (ty <= q[:, 1:2])
-        preds = (pred_sp, pred_sp)
+        preds = [(ty >= q[:, 0:1]) & (ty <= q[:, 1:2])]
     else:
         dx = t[0:1, :] - q[:, 0:1]
         dy = t[1:2, :] - q[:, 1:2]
         dr2 = dx * dx + dy * dy
-        preds = (dr2 < jnp.float32(r2a), dr2 < jnp.float32(r2b))
+        preds = [dr2 < jnp.float32(r2a)]
+        if r2b != r2a:  # single-predicate callers skip the second reduction
+            preds.append(dr2 < jnp.float32(r2b))
 
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     keys_all = (d << COL_BITS) | col
@@ -69,6 +70,8 @@ def _top2_kernel(dist_ref, qm_ref, tm_ref, out_ref,
                      keepdims=True)
         nc = jnp.sum(cand.astype(jnp.int32), axis=1, keepdims=True)
         cols_out += [k1, k2, nc]
+    if len(cols_out) == 3:
+        cols_out = cols_out * 2  # identical masks -> identical top-2
     zeros = jnp.zeros_like(cols_out[0])
     out_ref[:, :] = jnp.concatenate(cols_out + [zeros, zeros], axis=1)
 

@@ -120,8 +120,11 @@ def feature_debug(vo, img: np.ndarray):
     map at the current pose — the same jitted ops the tracking step uses,
     run off the hot path for visualization only. Pass the same image you
     passed to track(); if the VOSystem carries rectify_maps, the raw frame
-    is rectified here too so the overlay matches what the step saw. Returns
-    (keypoints [K, 2], valid [K], matched_age [K]; age -1 = unmatched)."""
+    is rectified here too so keypoints match what the step saw. Returns
+    (display_img [H, W] — the possibly-rectified frame the keypoints live
+    in; keypoints [K, 2]; valid [K]; matched_age [K], age -1 = unmatched).
+    Draw overlays on display_img, not the raw input, or rectified-frame
+    keypoints land on distorted pixels."""
     import jax.numpy as jnp
 
     from lvt_tpu.core import extract, step as step_mod
@@ -151,7 +154,7 @@ def feature_debug(vo, img: np.ndarray):
     age = np.full(kp.shape[0], -1, np.int32)
     hit = match_idx >= 0
     age[match_idx[hit]] = map_age[hit]
-    return kp, valid, age
+    return np.asarray(img), kp, valid, age
 
 
 class FrameDumper:
@@ -169,9 +172,9 @@ class FrameDumper:
         self.trajectory.append(np.asarray(vo.last_pose.t).copy())
         if self._i % self.every == 0:
             if img is not None:
-                kp, valid, age = feature_debug(vo, img)
+                disp, kp, valid, age = feature_debug(vo, img)
                 draw_features(
-                    img, kp, valid, matched_age=age,
+                    disp, kp, valid, matched_age=age,
                     out_path=os.path.join(self.out_dir,
                                           f"features_{self._i:06d}.png"),
                 )

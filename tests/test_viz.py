@@ -43,7 +43,8 @@ def test_feature_overlay_from_live_tracked_frame(tmp_path):
     for img_l, img_r, _ in world.stereo_sequence(4, speed=0.4):
         vo.track(img_l, img_r)
         last = img_l
-    kp, valid, age = viz.feature_debug(vo, last)
+    disp, kp, valid, age = viz.feature_debug(vo, last)
+    assert disp.shape == last.shape
     assert valid.any()
     # after 3 tracked frames some features must match aged map points
     assert (age[valid] >= 0).sum() > 10
