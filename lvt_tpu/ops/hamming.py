@@ -85,6 +85,34 @@ def masked_top2(
     return d1, d2, best, n_cand
 
 
+def masked_top2_int(
+    dist: jnp.ndarray, cand_mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """masked_top2 for INTEGER distance matrices via packed keys.
+
+    key = d * K + col is strictly ordered by (distance, column), so its
+    min/second-min ARE the top-2 with jnp.argmin's first-index tie-breaking
+    built in — two full-matrix reductions instead of masked_top2's
+    min + argmin + one-hot + min chain (~2 fewer [Q, K] passes, which is
+    what the matching stage is bound by). Semantics identical to
+    masked_top2 (tested in tests/test_hamming.py). Bounds: Hamming
+    distances <= 256 and K <= ~8e6 keep the key far inside int32.
+    """
+    q, k = dist.shape
+    imax = jnp.iinfo(jnp.int32).max
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, dist.ndim - 1)
+    key = jnp.where(cand_mask, dist.astype(jnp.int32) * k + col, imax)
+    k1 = jnp.min(key, axis=-1)
+    k2 = jnp.min(jnp.where(key == k1[..., None], imax, key), axis=-1)
+    has1 = k1 != imax
+    has2 = k2 != imax
+    d1 = jnp.where(has1, (k1 // k).astype(jnp.float32), BIG)
+    d2 = jnp.where(has2, (k2 // k).astype(jnp.float32), BIG)
+    best = jnp.where(has1, k1 % k, 0)
+    n_cand = jnp.sum(cand_mask, axis=-1)
+    return d1, d2, best, n_cand
+
+
 def accept_matches(
     d1: jnp.ndarray,
     d2: jnp.ndarray,

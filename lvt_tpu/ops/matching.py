@@ -69,7 +69,7 @@ def dual_radius_top2(
             out.append(out[0])  # single-radius callers pass b == a
             break
         cand = base & (dr2 < jnp.float32(radius) ** 2)
-        out.append(hamming.masked_top2(dist, cand))
+        out.append(hamming.masked_top2_int(dist, cand))
     return tuple(out)
 
 
@@ -209,7 +209,7 @@ def row_match(
             & (y_r[None, :] >= lo[:, None])
             & (y_r[None, :] <= hi[:, None])
         )
-        d1, d2, best, n_cand = hamming.masked_top2(dist, cand)
+        d1, d2, best, n_cand = hamming.masked_top2_int(dist, cand)
     idx = hamming.accept_matches(d1, d2, best, n_cand, ratio_threshold, abs_threshold)
     idx = hamming.resolve_one_to_one(idx, d1, k)
 

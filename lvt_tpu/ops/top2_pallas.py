@@ -110,8 +110,21 @@ def masked_dual_top2(
     tm = tm.at[1, :k].set(t_meta[:, 1].astype(jnp.float32))
     tm = tm.at[2, :k].set(t_valid.astype(jnp.float32))
 
+    # one kernel NAME per instantiated shape: same-named Mosaic kernels with
+    # different block shapes in one program can collide in compile caches
+    # keyed by name (observed through this environment's remote-compile
+    # relay as a runtime InvalidArgument)
+    def _kernel(dist_ref, qm_ref, tm_ref, out_ref):
+        _top2_kernel(dist_ref, qm_ref, tm_ref, out_ref,
+                     r2a=r2a, r2b=r2b, row_mode=row_mode)
+
+    _kernel.__name__ = (
+        f"top2_{mp}x{kp}_{'row' if row_mode else 'rad'}"
+        f"_{'dual' if (not row_mode and r2b != r2a) else 'single'}"
+    )
+
     out = pl.pallas_call(
-        functools.partial(_top2_kernel, r2a=r2a, r2b=r2b, row_mode=row_mode),
+        _kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, TILE_M, kp), lambda i: (0, i, 0),

@@ -71,6 +71,10 @@ def main():
         left, right = ex.extract_features_stereo(a, b, config)
         return s, (left.kp.sum() + right.kp.sum())
 
+    # production backend flags (the full step derives these from config)
+    flags = dict(use_kernel=step_mod._use_matching_kernel(config),
+                 use_mxu=step_mod._use_mxu_hamming(config))
+
     # 1: + map matching (incl. motion prediction)
     def body1(s, a, b):
         left, right = ex.extract_features_stereo(a, b, config)
@@ -80,7 +84,7 @@ def main():
             tracking_radius=config.tracking_radius,
             ratio_threshold=config.tracking_ratio_test_threshold,
             abs_threshold=config.descriptor_matching_threshold,
-            retry_min_matches=config.n_matches_threshold, **cam)
+            retry_min_matches=config.n_matches_threshold, **flags, **cam)
         return s, mm.matches_count
 
     # 2: + PnP
@@ -92,7 +96,7 @@ def main():
             tracking_radius=config.tracking_radius,
             ratio_threshold=config.tracking_ratio_test_threshold,
             abs_threshold=config.descriptor_matching_threshold,
-            retry_min_matches=config.n_matches_threshold, **cam)
+            retry_min_matches=config.n_matches_threshold, **flags, **cam)
         obs = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
         w = (mm.match_idx >= 0).astype(jnp.float32)
         pnp = solve_pnp(predicted, s.map.pos, obs, w,
@@ -110,7 +114,7 @@ def main():
             tracking_radius=config.tracking_radius,
             ratio_threshold=config.tracking_ratio_test_threshold,
             abs_threshold=config.descriptor_matching_threshold,
-            retry_min_matches=config.n_matches_threshold, **cam)
+            retry_min_matches=config.n_matches_threshold, **flags, **cam)
         obs = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
         w = (mm.match_idx >= 0).astype(jnp.float32)
         pnp = solve_pnp(predicted, s.map.pos, obs, w,

@@ -41,6 +41,20 @@ def test_masked_top2():
     np.testing.assert_array_equal(n, [3, 2])
 
 
+def test_masked_top2_int_matches_generic(rng):
+    """The packed-key fast path is semantics-identical to masked_top2,
+    including argmin tie-breaking and the no/one-candidate defaults."""
+    dist = jnp.asarray(rng.randint(0, 257, (60, 90)).astype(np.int32))
+    mask = jnp.asarray(rng.rand(60, 90) > 0.6)
+    mask = mask.at[0].set(False)       # zero-candidate row
+    mask = mask.at[1, :].set(False)
+    mask = mask.at[1, 7].set(True)     # single-candidate row
+    ref = hamming.masked_top2(dist, mask)
+    got = hamming.masked_top2_int(dist, mask)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 class TestAcceptRules:
     """Reference: ratio test with >=2 candidates, absolute test with exactly 1
     (lvt_image_features_struct.cpp:104-120)."""
