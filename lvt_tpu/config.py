@@ -98,11 +98,14 @@ class VOConfig:
     # XOR+popcount reduction (exact; None = auto on TPU)
     use_mxu_hamming: bool | None = None
     # fused masked top-2 matching kernel (ops/top2_pallas.py). Opt-in for
-    # now: interpret-mode-verified correct, but the Mosaic builds of three
-    # kernel instances per step are minutes-slow through this environment's
-    # remote-compile relay and one composed program hit a backend
-    # InvalidArgument at run time (scripts/profile_scan.py reproduces) —
-    # default stays on the XLA matching path until that is tracked down.
+    # now: interpret-mode-verified correct; each instance runs standalone on
+    # real TPU, and two instances compose in one jit (~7 min Mosaic build
+    # through this environment's remote-compile relay) — but the FULL step
+    # (three instances + the two perception kernels under lax.switch) hits a
+    # runtime "TPU backend error (InvalidArgument)" on the first tracking
+    # frame; per-shape kernel names did not change it. Until that is
+    # isolated (and compile latency justifies it), the default stays on the
+    # XLA matching path, which the packed-key top-2 keeps competitive.
     use_pallas_matching: bool | None = False
 
     # ---- observability
