@@ -41,6 +41,8 @@ HALO_A = 8        # kernel A: ring 3 + NMS 1 = 4, box 4; 8 keeps sublanes aligne
 HALO_B = 16       # kernel B: max |pattern offset| = 15
 TILE_ROWS_A = 64  # rows computed per grid step of kernel A
 TILE_ROWS_B = 32  # kernel B keeps 64 pool slabs live -> smaller row tile
+#                   (40 rows measured perf-neutral on v5e with tighter VMEM
+#                   headroom, so 32 stays)
 COL_HALO = 64     # column halo (covers both kernels; 2*64 keeps the slab
 #                   width a multiple of 128 whenever the column tile is)
 MAX_COL_TILE = 512
