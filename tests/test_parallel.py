@@ -123,6 +123,32 @@ class TestMultiStream:
         np.testing.assert_allclose(np.asarray(pb.t)[0], np.asarray(p1.t),
                                    atol=3e-4)
 
+    def test_divergent_streams_match_their_single_stream_runs(self):
+        """Streams carrying DIFFERENT content (different worlds) each track
+        exactly like their own single-stream run — per-stream state is
+        fully independent inside the batch."""
+        from lvt_tpu.core.system import VOSystem
+
+        _, cfg, frames_a = self.make(n_frames=5)
+        world_b = SyntheticWorld(width=192, height=144, fx=160.0, fy=160.0,
+                                 cx=96.0, cy=72.0, baseline=0.25,
+                                 n_points=900, seed=99,
+                                 extent_x=25.0, extent_y=12.0, extent_z=50.0)
+        frames_b = list(world_b.stereo_sequence(5, speed=0.45,
+                                                yaw_rate=0.01))
+        vo_a = VOSystem(cfg)
+        vo_b = VOSystem(cfg)
+        msvo = MultiStreamVO(cfg, 2, auto_reset=False)
+        for (la, ra, _), (lb, rb, _) in zip(frames_a, frames_b):
+            pa = vo_a.track(la, ra)
+            pb = vo_b.track(lb, rb)
+            poses, _ = msvo.track(np.stack([la, lb]), np.stack([ra, rb]))
+        est = np.asarray(poses.t)
+        np.testing.assert_allclose(est[0], np.asarray(pa.t), atol=3e-4)
+        np.testing.assert_allclose(est[1], np.asarray(pb.t), atol=3e-4)
+        # the two streams genuinely tracked different trajectories
+        assert np.linalg.norm(est[0] - est[1]) > 0.1
+
     def test_chunked_matches_per_frame_dispatch(self):
         """One scanned [N, S] dispatch == N sequential [S] dispatches."""
         world, cfg, frames = self.make(n_frames=6)

@@ -30,8 +30,17 @@ class Scenario:
     # <= oracle ATE * rel + abs (meters)
     rel_margin: float = 1.3
     abs_margin: float = 0.25
+    kitti_geometry: bool = False  # full KITTI frame size + intrinsics
 
     def world(self) -> SyntheticWorld:
+        if self.kitti_geometry:
+            # KITTI seq 00 camera (lvt_tpu/configs/kitti/00.yaml)
+            return SyntheticWorld(
+                width=1241, height=376, fx=718.856, fy=718.856,
+                cx=607.1928, cy=185.2157, baseline=0.5371657,
+                n_points=6000, extent_x=80.0, extent_y=20.0,
+                extent_z=160.0,
+            )
         return SyntheticWorld()
 
     def frames(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -64,6 +73,8 @@ SCENARIOS = (
     Scenario("noisy", n_frames=80, noise_sigma=4.0),
     Scenario("fast", n_frames=60, speed=1.6),
     Scenario("rgbd", n_frames=80, sensor="rgbd", speed=0.5),
+    # the benchmark's exact camera: full KITTI frame size + seq-00 intrinsics
+    Scenario("kitti_geom", n_frames=40, speed=0.9, kitti_geometry=True),
 )
 
 
