@@ -59,6 +59,40 @@ def test_ate_within_oracle_margin(sc):
     )
 
 
+def test_descriptor_level_parity(rng):
+    """The oracle's BRIEF (cv2 boxFilter + NumPy sampling) and lvt_tpu's
+    (jnp box sums + dense bit planes) share the pattern and must agree
+    bit-for-bit up to float summation order at test-pair equality
+    boundaries — a much stronger check than trajectory-level ATE."""
+    import cv2
+    import jax.numpy as jnp
+
+    from lvt_tpu.ops import brief
+    from lvt_tpu.ops.hamming import hamming_matrix
+    from tools.oracle import features as feat
+
+    img = rng.uniform(0, 255, (200, 300)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (0, 0), 1.5).astype(np.uint8)
+    k = 50
+    xs = rng.uniform(brief.BORDER + 1, 300 - brief.BORDER - 1, k)
+    ys = rng.uniform(brief.BORDER + 1, 200 - brief.BORDER - 1, k)
+    kps = [cv2.KeyPoint(float(x), float(y), 7.0) for x, y in zip(xs, ys)]
+
+    kept, desc_bytes = feat.brief_compute(img, kps)
+    assert len(kept) == k
+    words_oracle = jnp.asarray(
+        feat.desc_bytes_to_words(desc_bytes).astype(np.uint32))
+
+    kp_arr = jnp.asarray(np.stack([xs, ys], -1).astype(np.float32))
+    d_tpu, valid = brief.compute_descriptors(
+        jnp.asarray(img, jnp.float32), kp_arr, jnp.ones(k, bool))
+    assert np.asarray(valid).all()
+
+    ham = np.diag(np.asarray(hamming_matrix(words_oracle, d_tpu)))
+    assert (ham <= 3).all(), ham.max()
+    assert np.median(ham) == 0
+
+
 def test_goldens_tracked_to_completion():
     """The stored oracle runs themselves must not have been LOST — otherwise
     the ATE bound is vacuous."""
