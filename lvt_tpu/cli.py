@@ -77,12 +77,18 @@ def _track_sequence(vo, seq, chunk: int):
                 break
             a = np.stack([f[0] for f in block])
             b = np.stack([f[1] for f in block])
-            chunk_poses, _ = vo.track_chunk(a, b)
-            for i in range(len(block)):
+            chunk_poses, chunk_metrics = vo.track_chunk(a, b)
+            # truncate at the first LOST frame inside the chunk so frozen
+            # post-LOST poses never reach the trajectory file (the reference
+            # drivers stop the sequence at LOST, kitti_example.cpp:133-137)
+            status = np.asarray(chunk_metrics.status)
+            lost_at = np.nonzero(status == int(TrackingState.LOST))[0]
+            keep = int(lost_at[0]) + 1 if lost_at.size else len(block)
+            for i in range(keep):
                 poses.append(jax.tree.map(lambda x: x[i], chunk_poses))
-            done += len(block)
+            done += keep
             _progress(done - 1, n, t0)
-            if vo.get_state() == TrackingState.LOST:
+            if lost_at.size:
                 break
     else:
         for i, (a, b) in enumerate(seq):

@@ -107,6 +107,11 @@ class VOConfig:
     # isolated (and compile latency justifies it), the default stays on the
     # XLA matching path, which the packed-key top-2 keeps competitive.
     use_pallas_matching: bool | None = False
+    # which call sites use the fused kernel when it is enabled:
+    # m = map matching (find_map_matches), r = stereo row match,
+    # s = staged-point re-match. Lets the kernel land partially and lets
+    # the TPU bisection scripts isolate a failing composition.
+    pallas_matching_sites: str = "mrs"
 
     # ---- observability
     enable_logging: bool = False

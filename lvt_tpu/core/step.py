@@ -75,11 +75,15 @@ def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
     )
 
 
-def _use_matching_kernel(config: VOConfig) -> bool:
+def _use_matching_kernel(config: VOConfig, site: str = "mrs") -> bool:
     # None currently means OFF (not auto-on-TPU like the sibling flags):
     # the fused kernel is opt-in until the backend issue noted in
-    # config.use_pallas_matching is resolved
-    return bool(config.use_pallas_matching)
+    # config.use_pallas_matching is resolved. `site` identifies the call
+    # site (m/r/s, see config.pallas_matching_sites) so the kernel can be
+    # enabled per-site.
+    return bool(config.use_pallas_matching) and any(
+        s in config.pallas_matching_sites for s in site
+    )
 
 
 def _use_mxu_hamming(config: VOConfig) -> bool:
@@ -127,7 +131,7 @@ def _triangulate_new_points(
         abs_threshold=config.descriptor_matching_threshold,
         img_rows=config.img_height,
         dist=row_dist,
-        use_kernel=_use_matching_kernel(config),
+        use_kernel=_use_matching_kernel(config, "r"),
         use_mxu=_use_mxu_hamming(config),
     )
     k = left.kp.shape[0]
@@ -216,7 +220,7 @@ def _staged_update(
     """
     cam = _camera_kwargs(config)
     k = feats.kp.shape[0]
-    use_kernel = _use_matching_kernel(config)
+    use_kernel = _use_matching_kernel(config, "s")
     w2c = se3.world_to_camera(pose)
     pts_cam = se3.transform_points(w2c, staged.pos)
     uv = se3.project_points(pts_cam, config.fx, config.fy, config.cx, config.cy)
@@ -372,7 +376,7 @@ def _track_branch(
             abs_threshold=config.descriptor_matching_threshold,
             retry_min_matches=config.n_matches_threshold,
             axis_name=axis_name,
-            use_kernel=_use_matching_kernel(config),
+            use_kernel=_use_matching_kernel(config, "m"),
             use_mxu=_use_mxu_hamming(config),
             **cam,
         )
@@ -484,7 +488,7 @@ def _track_branch(
                 abs_threshold=config.descriptor_matching_threshold,
                 img_rows=config.img_height,
                 dist=row_dist,
-                use_kernel=_use_matching_kernel(config),
+                use_kernel=_use_matching_kernel(config, "r"),
                 use_mxu=_use_mxu_hamming(config),
             )
             r_idx = rm_ba.right_idx[jnp.clip(mm.match_idx, 0, k - 1)]

@@ -96,6 +96,11 @@ class StreamingVO:
         self._worker: Optional[threading.Thread] = None
         self._running = False
         self._lock = threading.Lock()
+        # feed() must never block on tracking (the worker holds _lock for
+        # the whole track call), so ingestion has its own lock making the
+        # stale-stamp check/update and the evict-then-put atomic under
+        # multiple producers
+        self._feed_lock = threading.Lock()
 
     # -- configuration --------------------------------------------------
     def set_camera_info(self, fx, fy, cx, cy, baseline, width, height,
@@ -153,23 +158,27 @@ class StreamingVO:
     def feed(self, stamp: float, img1: np.ndarray, img2: np.ndarray) -> bool:
         """Queue one frame (async). Returns False if dropped (queue full —
         the oldest queued frame is evicted so the freshest frame tracks)."""
-        if stamp <= self._last_stamp:  # stale-timestamp guard (:226-230)
-            self._dropped += 1
-            return False
-        self._last_stamp = stamp
-        item = (stamp, img1, img2)
-        if not self._running:
-            self._process(item)
-            return True
-        try:
-            self._queue.put_nowait(item)
-        except queue.Full:
-            try:
-                self._queue.get_nowait()
+        with self._feed_lock:
+            if stamp <= self._last_stamp:  # stale-timestamp guard (:226-230)
                 self._dropped += 1
-            except queue.Empty:
-                pass
-            self._queue.put_nowait(item)
+                return False
+            self._last_stamp = stamp
+            item = (stamp, img1, img2)
+            if not self._running:
+                sync = True
+            else:
+                sync = False
+                try:
+                    self._queue.put_nowait(item)
+                except queue.Full:
+                    try:
+                        self._queue.get_nowait()
+                        self._dropped += 1
+                    except queue.Empty:
+                        pass
+                    self._queue.put_nowait(item)
+        if sync:
+            self._process(item)
         return True
 
     # -- worker ---------------------------------------------------------

@@ -95,8 +95,12 @@ class ValueRecorder:
             f.write("\n".join(self.series) + "\n")
 
     def reset(self) -> None:
-        self.finish()
-        self.rows = []
+        """Called when the VO system resets. The reference's recorder keeps
+        one value stream per run across VO resets (lvt_logging_utils.cpp:
+        103-150 — nothing clears m_values), so accumulated rows are KEPT;
+        only the in-progress frame is discarded. (A finish()-then-clear
+        here would make a later finish() overwrite the file with only
+        post-reset rows.)"""
         self._current = {}
 
 

@@ -59,6 +59,37 @@ def test_kitti_cli(kitti_tree, tmp_path, chunk):
     assert ate_rmse_aligned(est, gt) < 0.3
 
 
+def test_kitti_cli_chunk_truncates_at_lost(kitti_tree, tmp_path):
+    """Chunk mode must cut the trajectory at the first LOST frame instead of
+    writing frozen post-LOST poses for the rest of the chunk (the reference
+    drivers stop at LOST, kitti_example.cpp:133-137)."""
+    root, _ = kitti_tree
+    world = SyntheticWorld(width=320, height=240, fx=260.0, fy=260.0,
+                           cx=160.0, cy=120.0, baseline=0.3, n_points=1500,
+                           extent_x=40.0, extent_y=18.0, extent_z=90.0)
+    seq = tmp_path / "sequences" / "04"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    blank = np.full((240, 320), 40, np.uint8)
+    for i, (l, r, _) in enumerate(world.stereo_sequence(10, speed=0.5)):
+        if i >= 5:  # blind the camera from frame 5 on
+            l = r = blank
+        cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), l.astype(np.uint8))
+        cv2.imwrite(str(seq / "image_1" / f"{i:06d}.png"), r.astype(np.uint8))
+    out = str(tmp_path / "04.txt")
+    rc = main([
+        "kitti", "--sequences-dir", str(tmp_path / "sequences"), "--seq", "4",
+        "--calib", str(root / "calib_03.yaml"),
+        "--config", str(root / "vo.yaml"),
+        "--output", out, "--chunk", "4",
+    ])
+    assert rc == 0
+    mats = load_kitti(out)
+    # frames 0-4 tracked, frame 5 is the first LOST -> exactly 6 poses
+    # (the LOST frame reports the last tracked pose, like online mode)
+    assert mats.shape == (6, 3, 4)
+
+
 def test_tum_cli(tmp_path):
     world = SyntheticWorld(width=320, height=240, fx=260.0, fy=260.0,
                            cx=160.0, cy=120.0, n_points=1200,

@@ -48,6 +48,26 @@ def test_value_recorder_artifacts(tmp_path):
     assert all(len(r.split(",")) == len(titles) for r in rows)
 
 
+def test_value_recorder_reset_keeps_prior_rows(tmp_path):
+    """A VO reset mid-run must not lose already-recorded frames: the
+    reference keeps one value stream per run (lvt_logging_utils.cpp:103-150
+    never clears m_values), so rows from before the reset appear in the
+    final measurments.txt."""
+    rec = ValueRecorder(out_dir=str(tmp_path))
+    for v in (1.0, 2.0):
+        rec.record("inlier count", v)
+        rec.flush_frame()
+    rec.record("inlier count", 99.0)  # in-progress frame, discarded by reset
+    rec.reset()
+    rec.record("inlier count", 3.0)
+    rec.flush_frame()
+    rec.finish()
+    rows = open(tmp_path / "measurments.txt").read().strip().splitlines()
+    assert len(rows) == 3
+    col = REFERENCE_SERIES.index("inlier count")
+    assert [float(r.split(",")[col]) for r in rows] == [1.0, 2.0, 3.0]
+
+
 def test_named_scope_stage_markers_exist():
     """The promised jax.named_scope markers are real code, not docstring."""
     import lvt_tpu.core.step as step_mod

@@ -93,6 +93,58 @@ def test_sharded_chunk_matches_per_frame():
     assert a.map_size == b.map_size
 
 
+def test_sharded_map_at_capacity_degrades_gracefully():
+    """The documented capacity caveat (sharded_stream.py module docstring):
+    once an individual shard's block fills, its insertion subset drops even
+    if other shards have free slots. Drive the map to capacity and assert
+    the degradation is bounded (never exceeds capacity, never holds fewer
+    points than the unsharded map would minus the per-shard imbalance) and
+    recoverable (tracking continues, masks stay consistent)."""
+    world = SyntheticWorld(width=256, height=192, fx=210.0, fy=210.0,
+                           cx=128.0, cy=96.0, baseline=0.25, n_points=1200,
+                           extent_x=30.0, extent_y=14.0, extent_z=60.0)
+    cfg = VOConfig(
+        fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
+        baseline=world.baseline, img_width=world.width,
+        img_height=world.height, detection_cell_size=96,
+        max_keypoints_per_cell=48, agast_threshold=12,
+        near_plane_distance=0.5, far_plane_distance=90.0,
+        # tiny capacity (32 per shard) + always-triangulate fills it fast
+        max_map_points=256, max_staged_points=256,
+        triangulation_policy=2, map_soft_cap=250,
+    )
+    frames = list(world.stereo_sequence(8, speed=0.35))
+    vo = VOSystem(cfg)
+    svo = ShardedStreamVO(cfg)
+
+    for img_l, img_r, _ in frames:
+        p_ref = vo.track(img_l, img_r)
+        p_shd = svo.track(img_l, img_r)
+
+    assert svo.status == TRACKING
+    # unsharded reached hard capacity; sharded is at most that and at least
+    # one full shard's worth below only if every other shard also filled
+    assert vo.map_size == cfg.max_map_points
+    assert svo.map_size <= cfg.max_map_points
+    assert svo.map_size >= cfg.max_map_points // 2
+    # mask consistency: every shard holds at most its block size of valid
+    # points, and size() equals the mask sum (no phantom slots)
+    per_shard_valid = [
+        int(np.asarray(s.data).sum())
+        for s in svo.state.map.valid.addressable_shards
+    ]
+    assert sum(per_shard_valid) == svo.map_size
+    assert max(per_shard_valid) <= cfg.max_map_points // 8
+    # trajectory stays close to the unsharded run despite dropped insertions
+    assert np.linalg.norm(
+        np.asarray(p_shd.t) - np.asarray(p_ref.t)
+    ) < 0.05
+    # recoverable: keep tracking at capacity
+    for img_l, img_r, _ in world.stereo_sequence(3, speed=0.35):
+        svo.track(img_l, img_r)
+    assert svo.status == TRACKING
+
+
 def test_custom_axis_name_tracks():
     """The axis parameter must thread through to the jitted step (it used
     to be silently ignored, crashing on any non-default mesh axis)."""

@@ -90,6 +90,45 @@ def test_async_worker():
     assert outs[-1].tracking_state == TrackingState.TRACKING
 
 
+def test_concurrent_producers_feed_safely():
+    """Multiple producer threads may feed concurrently: the stale-stamp
+    check/update and the evict-then-put on a full queue are atomic (feed
+    lock), so no producer ever sees queue.Full escape and the stamp guard
+    stays monotonic."""
+    import threading
+
+    world, s = make_stream(queue_size=2)
+    outs = []
+    s.on_odometry(outs.append)
+    s.start()
+    frames = list(world.stereo_sequence(2, speed=0.4))
+    l0, r0 = frames[0][0], frames[0][1]
+    errors = []
+    accepted = [0] * 4
+
+    def producer(tid):
+        try:
+            for i in range(25):
+                if s.feed(tid + 4 * i, l0, r0):
+                    accepted[tid] += 1
+        except Exception as e:  # noqa: BLE001 — fail the test with it
+            errors.append(e)
+
+    threads = [threading.Thread(target=producer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    deadline = time.time() + 60
+    while not s._queue.empty() and time.time() < deadline:
+        time.sleep(0.05)
+    s.stop()
+    assert not errors, errors
+    # every one of the 100 attempts was rejected as stale (dropped), evicted
+    # from the queue (dropped), or tracked (outs) — exactly once
+    assert len(outs) + s.dropped_frames == 100
+
+
 def test_lazy_camera_info():
     world, _ = make_stream()
     s = StreamingVO(apply_axis_fix=False)
