@@ -97,16 +97,16 @@ class VOConfig:
     # Hamming distances via an MXU +-1 bf16 matmul instead of the 8-pass
     # XOR+popcount reduction (exact; None = auto on TPU)
     use_mxu_hamming: bool | None = None
-    # fused masked top-2 matching kernel (ops/top2_pallas.py). Opt-in for
-    # now: interpret-mode-verified correct; each instance runs standalone on
-    # real TPU, and two instances compose in one jit (~7 min Mosaic build
-    # through this environment's remote-compile relay) — but the FULL step
-    # (three instances + the two perception kernels under lax.switch) hits a
-    # runtime "TPU backend error (InvalidArgument)" on the first tracking
-    # frame; per-shape kernel names did not change it. Until that is
-    # isolated (and compile latency justifies it), the default stays on the
-    # XLA matching path, which the packed-key top-2 keeps competitive.
-    use_pallas_matching: bool | None = False
+    # fused masked top-2 matching kernel (ops/top2_pallas.py); None = auto
+    # on TPU. History: under the old lax.switch state machine the full step
+    # instantiated the row-mode kernel TWICE (init + track branches) and hit
+    # a runtime "TPU backend error (InvalidArgument)" on the first tracking
+    # frame (bisected by scripts/tpu_top2_bisect.py: any composition
+    # containing the duplicated row instance failed, every single-instance
+    # site passed). The predicated single-branch step (core/step.py
+    # track_features) instantiates each kernel once and the full
+    # composition runs clean, so the kernel is now default-on for TPU.
+    use_pallas_matching: bool | None = None
     # which call sites use the fused kernel when it is enabled:
     # m = map matching (find_map_matches), r = stereo row match,
     # s = staged-point re-match. Lets the kernel land partially and lets

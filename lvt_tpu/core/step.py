@@ -76,14 +76,15 @@ def _image_bounds(config: VOConfig) -> tuple[float, float, float, float]:
 
 
 def _use_matching_kernel(config: VOConfig, site: str = "mrs") -> bool:
-    # None currently means OFF (not auto-on-TPU like the sibling flags):
-    # the fused kernel is opt-in until the backend issue noted in
-    # config.use_pallas_matching is resolved. `site` identifies the call
-    # site (m/r/s, see config.pallas_matching_sites) so the kernel can be
-    # enabled per-site.
-    return bool(config.use_pallas_matching) and any(
-        s in config.pallas_matching_sites for s in site
-    )
+    # None = auto: on for TPU backends (see the history note on
+    # config.use_pallas_matching). `site` identifies the call site (m/r/s,
+    # see config.pallas_matching_sites) so the kernel can be enabled
+    # per-site by the TPU bisection scripts.
+    if config.use_pallas_matching is None:
+        enabled = jax.default_backend() == "tpu"
+    else:
+        enabled = config.use_pallas_matching
+    return enabled and any(s in config.pallas_matching_sites for s in site)
 
 
 def _use_mxu_hamming(config: VOConfig) -> bool:
@@ -159,46 +160,6 @@ def _policy_need_triangulation(
     ok01 = window[1] <= ratio * window[0]
     ok12 = window[2] <= ratio * window[1]
     return ok01 & ok12
-
-
-def _init_branch(
-    state: VOState,
-    left: FrameFeatures,
-    right: FrameFeatures | None,
-    config: VOConfig,
-    rgbd: bool,
-    axis_name: str | None = None,
-):
-    """First frame: triangulate everything into the map at identity, the
-    world frame anchor (lvt_system.cpp:185-193)."""
-    identity = Pose.identity()
-    k = left.kp.shape[0]
-    no_excl = jnp.zeros((k,), bool)
-    pts, desc, valid = _triangulate_new_points(
-        left, right, no_excl, identity, config, rgbd
-    )
-    ins = map_ops.insert_points(
-        state.map, pts, desc, _shard_partition_mask(valid, axis_name)
-    )
-    map_size = _psum_if(ins.store.size(), axis_name)
-    window = jnp.stack(
-        [map_size.astype(jnp.float32),
-         jnp.float32(MATCHES_WINDOW_INIT), jnp.float32(MATCHES_WINDOW_INIT)]
-    )
-    new_state = state._replace(
-        map=ins.store,
-        pose=identity,
-        last_matches=window,
-        frame_number=state.frame_number + 1,
-        status=jnp.asarray(TRACKING, jnp.int32),
-    )
-    metrics = StepMetrics.zero()._replace(
-        map_points_count=map_size.astype(jnp.int32),
-        image_keypoints=left.count().astype(jnp.int32),
-        triangulated_points=_psum_if(ins.n_inserted, axis_name).astype(jnp.int32),
-        status=jnp.asarray(TRACKING, jnp.int32),
-    )
-    return new_state, identity, metrics
 
 
 def _staged_update(
@@ -346,9 +307,24 @@ def _track_branch(
     right: FrameFeatures | None,
     config: VOConfig,
     rgbd: bool,
+    is_init: jnp.ndarray,
     axis_name: str | None = None,
 ):
-    """Normal tracking frame (perform_tracking, lvt_system.cpp:252-306).
+    """Normal tracking frame (perform_tracking, lvt_system.cpp:252-306) —
+    and, via the ``is_init`` predicate, the first/initialization frame
+    (lvt_system.cpp:185-193) as the SAME computation.
+
+    The init frame is exactly a tracking frame over an empty map (the
+    NOT_INITIALIZED invariant: map, staged, BA window and motion velocities
+    are all empty/zero) at a forced-identity pose with triangulation forced
+    on: matching over an all-invalid map yields zero matches, PnP with zero
+    weights returns its prediction, bookkeeping over empty stores is a
+    no-op, and every feature row-matches/triangulates into the map at
+    identity — the reference's init path. A handful of scalar `where`
+    selects (prediction, is_tracking, policy, match window, metrics)
+    express the differences, so the vmapped multistream path compiles ONE
+    body instead of lax.switch's compute-all-branches duplication of the
+    row-match + triangulation chain.
 
     With ``axis_name`` set (sharded-map stream mode, BASELINE config 5) the
     map/staged stores are blocks of a mesh-sharded whole: feature-space
@@ -362,11 +338,15 @@ def _track_branch(
     names the reference's trace log brackets (lvt_system.cpp:263-297)."""
     cam = _camera_kwargs(config)
     k = left.kp.shape[0]
+    identity = Pose.identity()
 
     # motion prediction mutates velocity state regardless of the outcome
-    # (lvt_motion_model.cpp:42-65 updates on every call)
+    # (lvt_motion_model.cpp:42-65 updates on every call); the init frame
+    # anchors the world at identity and leaves the motion state untouched
     with jax.named_scope("motion_predict"):
         motion, predicted = predict_next_pose(state.motion, state.pose)
+        predicted = _select(is_init, identity, predicted)
+        motion = _select(is_init, state.motion, motion)
 
     with jax.named_scope("map_matching"):
         mm = matching.find_map_matches(
@@ -381,7 +361,9 @@ def _track_branch(
             **cam,
         )
     matches_count = mm.matches_count
-    is_tracking = matches_count >= config.min_num_matches_for_tracking
+    is_tracking = (
+        matches_count >= config.min_num_matches_for_tracking
+    ) | is_init
 
     # --- PnP on the matched 2D-3D pairs
     obs = left.kp[jnp.clip(mm.match_idx, 0, k - 1)]
@@ -393,7 +375,9 @@ def _track_branch(
             reprojection_th2=config.reprojection_th2,
             axis_name=axis_name,
         )
-    pose_opt = pnp.pose
+    # zero matches leave LM at its prediction; the select makes the init
+    # anchor exactly identity regardless of damping arithmetic
+    pose_opt = _select(is_init, identity, pnp.pose)
 
     # --- bookkeeping (applies even when tracking fails: the reference's
     # find_matches already mutated counters before the early return)
@@ -428,7 +412,8 @@ def _track_branch(
         [state.last_matches[1:], matches_count[None].astype(jnp.float32)]
     )
     map_size_after_promo = _psum_if(map_after_promo.size(), axis_name)
-    need_tri = _policy_need_triangulation(config, window, map_size_after_promo)
+    need_tri = _policy_need_triangulation(
+        config, window, map_size_after_promo) | is_init
 
     # one stereo Hamming matrix serves both the local-BA row match (over
     # tracked features, below) and the triangulation row match (over
@@ -503,7 +488,15 @@ def _track_branch(
             )
         final_map = final_map._replace(pos=refined_pos)
 
-    # --- select tracked vs lost outcomes
+    # --- select tracked vs lost outcomes; the init frame resets the
+    # triangulation-policy window to [map size, INF, INF]
+    # (lvt_system.cpp:185-193, m_last_matches initialization)
+    map_size_final = _psum_if(ins_map.store.size(), axis_name)
+    init_window = jnp.stack(
+        [map_size_final.astype(jnp.float32),
+         jnp.float32(MATCHES_WINDOW_INIT), jnp.float32(MATCHES_WINDOW_INIT)]
+    )
+    window = _select(is_init, init_window, window)
     new_state = VOState(
         map=_select(is_tracking, final_map, map_bookkept),
         staged=_select(is_tracking, ins_staged.store, state.staged),
@@ -512,7 +505,7 @@ def _track_branch(
         last_matches=_select(is_tracking, window, state.last_matches),
         frame_number=state.frame_number + 1,
         status=jnp.where(is_tracking, TRACKING, LOST).astype(jnp.int32),
-        ba=_select(is_tracking, ba_window, state.ba),
+        ba=_select(is_tracking & ~is_init, ba_window, state.ba),
     )
     out_pose = _select(is_tracking, pose_final, state.pose)
 
@@ -522,7 +515,9 @@ def _track_branch(
         jnp.sum(jnp.where(matched_mask, v, 0.0)), axis_name
     ) / n_matched
     metrics = StepMetrics(
-        map_points_count=_psum_if(state.map.size(), axis_name).astype(jnp.int32),
+        map_points_count=_select(
+            is_init, map_size_final,
+            _psum_if(state.map.size(), axis_name)).astype(jnp.int32),
         staged_points_count=_psum_if(
             state.staged.size(), axis_name).astype(jnp.int32),
         image_keypoints=left.count().astype(jnp.int32),
@@ -538,20 +533,10 @@ def _track_branch(
             _psum_if(ins_map.n_inserted + ins_staged.n_inserted, axis_name),
             0,
         ).astype(jnp.int32),
-        used_wide_radius=mm.used_wide_radius,
+        used_wide_radius=mm.used_wide_radius & ~is_init,
         status=new_state.status,
     )
     return new_state, out_pose, metrics
-
-
-def _lost_branch(state: VOState, axis_name: str | None = None):
-    """Track called while lost: return last pose (lvt_system.cpp:161-166)."""
-    new_state = state._replace(frame_number=state.frame_number + 1)
-    metrics = StepMetrics.zero()._replace(
-        map_points_count=_psum_if(state.map.size(), axis_name).astype(jnp.int32),
-        status=jnp.asarray(LOST, jnp.int32),
-    )
-    return new_state, state.pose, metrics
 
 
 def track_features(
@@ -562,18 +547,36 @@ def track_features(
     rgbd: bool,
     axis_name: str | None = None,
 ):
-    """Status dispatch over already-extracted features. ``axis_name`` marks
-    the map/staged/ba leaves of ``state`` as blocks sharded over that mesh
-    axis (call inside shard_map; the status scalar is replicated, so every
-    shard takes the same branch and the collectives inside line up)."""
-    branches = [
-        lambda: _init_branch(state, left, right, config, rgbd, axis_name),
-        lambda: _track_branch(state, left, right, config, rgbd, axis_name),
-        lambda: _lost_branch(state, axis_name),
-    ]
-    return jax.lax.switch(
-        jnp.clip(state.status, NOT_INITIALIZED, LOST) - NOT_INITIALIZED,
-        branches,
+    """Status dispatch over already-extracted features.
+
+    The reference's three-state machine (lvt_system.cpp:157-207) is ONE
+    predicated computation, not a lax.switch: under vmap (multistream,
+    BASELINE config 4) a switch lowers to compute-all-branches + select, so
+    every batched frame would pay the init branch's full row-match +
+    triangulate-everything chain on top of the tracking branch. Instead the
+    init frame runs *through* the tracking body (see _track_branch) and the
+    lost frame — return last pose, bump the frame counter
+    (lvt_system.cpp:161-166) — is a pure output select.
+
+    ``axis_name`` marks the map/staged/ba leaves of ``state`` as blocks
+    sharded over that mesh axis (call inside shard_map; the status scalar is
+    replicated, so every shard computes the same predicates and the
+    collectives inside line up)."""
+    is_init = state.status == NOT_INITIALIZED
+    is_lost = state.status == LOST
+    tracked_state, pose, metrics = _track_branch(
+        state, left, right, config, rgbd, is_init, axis_name
+    )
+    lost_state = state._replace(frame_number=state.frame_number + 1)
+    lost_metrics = StepMetrics.zero()._replace(
+        map_points_count=_psum_if(
+            state.map.size(), axis_name).astype(jnp.int32),
+        status=jnp.asarray(LOST, jnp.int32),
+    )
+    return (
+        _select(is_lost, lost_state, tracked_state),
+        _select(is_lost, state.pose, pose),
+        _select(is_lost, lost_metrics, metrics),
     )
 
 
@@ -623,9 +626,9 @@ def track_chunk_stereo(
 
     def body(s, frame):
         il, ir = frame
-        s2, pose, metrics = _track_frame_stereo(
-            s, il.astype(jnp.float32), ir.astype(jnp.float32), config
-        )
+        # uint8 frames pass through untouched: the Pallas perception kernel
+        # DMAs uint8 slabs and widens in VMEM (4x less HBM image traffic)
+        s2, pose, metrics = _track_frame_stereo(s, il, ir, config)
         return s2, (pose, metrics)
 
     state, (poses, metrics) = jax.lax.scan(body, state, (imgs_left, imgs_right))
@@ -641,9 +644,7 @@ def track_chunk_rgbd(
 ):
     def body(s, frame):
         g, d = frame
-        s2, pose, metrics = _track_frame_rgbd(
-            s, g.astype(jnp.float32), d, config
-        )
+        s2, pose, metrics = _track_frame_rgbd(s, g, d, config)
         return s2, (pose, metrics)
 
     state, (poses, metrics) = jax.lax.scan(body, state, (imgs_gray, imgs_depth))

@@ -123,7 +123,9 @@ class VOSystem:
             f"image shape {a.shape} != configured "
             f"{(self.config.img_height, self.config.img_width)}"
         )
-        return a.astype(jnp.float32)
+        # uint8 uploads 4x less than float32 and the perception kernel
+        # widens on device; other dtypes normalize to float32
+        return a if a.dtype == jnp.uint8 else a.astype(jnp.float32)
 
     def _finish(self, out) -> Pose:
         self.state, pose, metrics = out

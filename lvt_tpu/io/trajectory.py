@@ -75,3 +75,16 @@ def rpe_rmse(est_xyz: np.ndarray, gt_xyz: np.ndarray, delta: int = 1) -> float:
     de = est[delta:] - est[:-delta]
     dg = gt[delta:] - gt[:-delta]
     return float(np.sqrt(np.mean(np.sum((de - dg) ** 2, axis=-1))))
+
+
+def rot_rmse_deg(est_r: np.ndarray, gt_r: np.ndarray) -> float:
+    """Rotation error RMSE in degrees: per-frame geodesic angle between
+    estimated and ground-truth orientation, both trajectories anchored to
+    the shared first-frame identity."""
+    est = np.asarray(est_r, np.float64)
+    gt = np.asarray(gt_r, np.float64)
+    # relative rotation est^T @ gt per frame; angle from the trace
+    rel = np.einsum("nij,nik->njk", est, gt)
+    tr = np.clip((np.trace(rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.degrees(np.arccos(tr))
+    return float(np.sqrt(np.mean(ang**2)))

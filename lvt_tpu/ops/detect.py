@@ -89,12 +89,32 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """3x3 non-max suppression: keep pixels that are the local maximum."""
-    neighborhood = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max,
-        window_dimensions=(3, 3), window_strides=(1, 1), padding="SAME",
+    """3x3 non-max suppression, plateau-collapsing.
+
+    Ties break lexicographically: a pixel survives only if it strictly
+    beats its "earlier" neighbors (above / left) and is >= its "later"
+    ones. A weak `>=` on both sides keeps EVERY pixel of an equal-score
+    run — on repetitive structure (stripe/checker edges: constant FAST
+    score along the whole edge) that floods the per-cell top-k with
+    clustered, mutually ambiguous corners, which measurably degrades
+    tracking (tex_stripes parity scenario). Collapsing each plateau to its
+    first pixel approximates the spatial spreading the reference gets from
+    ANMS (lvt_image_features_handler.cpp:34-83) with fixed-shape ops."""
+    h, w = score.shape
+    pad = jnp.pad(score, 1, constant_values=-jnp.inf)
+
+    def neigh(dy, dx):
+        return jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w))
+
+    before = jnp.maximum(
+        jnp.maximum(neigh(-1, -1), neigh(-1, 0)),
+        jnp.maximum(neigh(-1, 1), neigh(0, -1)),
     )
-    return jnp.where(score >= neighborhood, score, 0.0)
+    after = jnp.maximum(
+        jnp.maximum(neigh(0, 1), neigh(1, -1)),
+        jnp.maximum(neigh(1, 0), neigh(1, 1)),
+    )
+    return jnp.where((score > before) & (score >= after), score, 0.0)
 
 
 class Detections(NamedTuple):

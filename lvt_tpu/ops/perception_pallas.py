@@ -82,7 +82,12 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     )
     copy.start()
     copy.wait()
+    # uint8 frames are DMA'd as-is (4x less HBM image traffic than float32)
+    # and widened in VMEM (via int32: Mosaic has no direct u8->f32 cast)
     a = slab[:]
+    if a.dtype == jnp.uint8:
+        a = a.astype(jnp.int32)
+    a = a.astype(jnp.float32)
 
     def central(x):
         x = jax.lax.slice_in_dim(x, HALO_A, HALO_A + TILE_ROWS_A, axis=0)
@@ -136,14 +141,24 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     )
     score = jnp.where(inside, score, 0.0)
 
-    # ---- 3x3 non-max suppression
-    neigh = score
+    # ---- 3x3 non-max suppression, plateau-collapsing like detect.nms3x3:
+    # strictly beat the lexicographically-earlier neighbors, tie toward the
+    # later ones (collapses equal-score runs on repetitive structure)
+    before = score * 0.0 - jnp.float32(jnp.inf)
+    after = before
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            if dy or dx:
-                neigh = jnp.maximum(neigh, _roll2(score, dy, dx))
+            if (dy, dx) == (0, 0):
+                continue
+            n = _roll2(score, dy, dx)
+            if (dy, dx) < (0, 0):
+                before = jnp.maximum(before, n)
+            else:
+                after = jnp.maximum(after, n)
     raw_ref[0, :, :] = central(score)
-    score_ref[0, :, :] = central(jnp.where(score >= neigh, score, 0.0))
+    score_ref[0, :, :] = central(
+        jnp.where((score > before) & (score >= after), score, 0.0)
+    )
 
 
 def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
@@ -190,7 +205,10 @@ def perception_maps_batched(
     stereo pairs and multi-stream batches all route through here.
     """
     bsz, h, w = imgs.shape
-    imgs = imgs.astype(jnp.float32)
+    # uint8 input stays uint8 through the pad + DMA (kernel A widens in
+    # VMEM); any other dtype normalizes to float32
+    if imgs.dtype != jnp.uint8:
+        imgs = imgs.astype(jnp.float32)
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
@@ -224,7 +242,7 @@ def perception_maps_batched(
         scratch_shapes=[
             pltpu.VMEM(
                 (TILE_ROWS_A + 2 * HALO_A, col_tile + 2 * COL_HALO),
-                jnp.float32,
+                imgs.dtype,
             ),
             pltpu.SemaphoreType.DMA(()),
         ],

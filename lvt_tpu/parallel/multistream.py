@@ -44,7 +44,7 @@ def _step_stereo_batched(states, imgs_left, imgs_right, config: VOConfig):
 
     s = imgs_left.shape[0]
     feats = extract.extract_features_batched(
-        jnp.concatenate([imgs_left, imgs_right]).astype(jnp.float32), config
+        jnp.concatenate([imgs_left, imgs_right]), config
     )
     left = jax.tree.map(lambda a: a[:s], feats)
     right = jax.tree.map(lambda a: a[s:], feats)
@@ -56,9 +56,7 @@ def _step_stereo_batched(states, imgs_left, imgs_right, config: VOConfig):
 def _step_rgbd_batched(states, imgs_gray, imgs_depth, config: VOConfig):
     from lvt_tpu.core import extract
 
-    feats = extract.extract_features_batched(
-        imgs_gray.astype(jnp.float32), config
-    )
+    feats = extract.extract_features_batched(imgs_gray, config)
 
     def one(st, f, depth):
         f = _apply_depth(f, depth, config)

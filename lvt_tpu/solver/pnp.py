@@ -97,6 +97,13 @@ class _LMState(NamedTuple):
     lam: jnp.ndarray
     nu: jnp.ndarray
     chi2: jnp.ndarray
+    # cached projection at (r_wc, t_wc): each iteration projects once (for
+    # the trial pose) instead of twice, and the pass-end outlier demotion
+    # reads the final residuals for free instead of re-projecting
+    r: jnp.ndarray       # [M, 2] residuals
+    p_cam: jnp.ndarray   # [M, 3]
+    inv_z: jnp.ndarray   # [M]
+    e2: jnp.ndarray      # [M] squared residual norm
 
 
 def solve_pnp(
@@ -130,50 +137,55 @@ def solve_pnp(
     r_wc0 = r_cw.T
     t_wc0 = -r_wc0 @ initial_pose.t
 
-    def robust_chi2(r_wc, t_wc, w_mask):
-        r, _, _ = _project_residuals(r_wc, t_wc, points, obs, fx, fy, cx, cy)
-        e2 = jnp.sum(r * r, -1)
+    def project(r_wc, t_wc):
+        r, p_cam, inv_z = _project_residuals(
+            r_wc, t_wc, points, obs, fx, fy, cx, cy
+        )
+        return r, p_cam, inv_z, jnp.sum(r * r, -1)
+
+    def robust_chi2(e2, w_mask):
         rho = delta2 * jnp.log1p(e2 / delta2)
         return psum(jnp.sum(w_mask * rho))
 
     def lm_iteration(state: _LMState, w_mask):
-        r, p_cam, inv_z = _project_residuals(
-            state.r_wc, state.t_wc, points, obs, fx, fy, cx, cy
-        )
-        e2 = jnp.sum(r * r, -1)
-        w = w_mask * _cauchy_weights(e2, delta2)
-        jac = _jacobians(p_cam, inv_z, fx, fy)  # [M, 2, 6]
+        w = w_mask * _cauchy_weights(state.e2, delta2)
+        jac = _jacobians(state.p_cam, state.inv_z, fx, fy)  # [M, 2, 6]
         # H = sum w J^T J, g = sum w J^T r  (the MXU-friendly reduction)
         jw = jac * w[:, None, None]
         h = psum(jnp.einsum("mki,mkj->ij", jw, jac))
-        g = psum(jnp.einsum("mki,mk->i", jw, r))
+        g = psum(jnp.einsum("mki,mk->i", jw, state.r))
 
         step = jnp.linalg.solve(
             h + state.lam * jnp.eye(6, dtype=dtype), -g
         )
-        r_new, t_new = _retract(state.r_wc, state.t_wc, step)
-        chi2_new = robust_chi2(r_new, t_new, w_mask)
+        r_wc_new, t_wc_new = _retract(state.r_wc, state.t_wc, step)
+        r_new, p_new, iz_new, e2_new = project(r_wc_new, t_wc_new)
+        chi2_new = robust_chi2(e2_new, w_mask)
         accept = (chi2_new < state.chi2) & jnp.all(jnp.isfinite(step))
+        sel = lambda a, b: jnp.where(accept, a, b)
 
         return _LMState(
-            r_wc=jnp.where(accept, r_new, state.r_wc),
-            t_wc=jnp.where(accept, t_new, state.t_wc),
+            r_wc=sel(r_wc_new, state.r_wc),
+            t_wc=sel(t_wc_new, state.t_wc),
             lam=jnp.where(accept, state.lam / 3.0, state.lam * state.nu),
             nu=jnp.where(accept, jnp.asarray(2.0, dtype), state.nu * 2.0),
-            chi2=jnp.where(accept, chi2_new, state.chi2),
+            chi2=sel(chi2_new, state.chi2),
+            r=sel(r_new, state.r),
+            p_cam=sel(p_new, state.p_cam),
+            inv_z=sel(iz_new, state.inv_z),
+            e2=sel(e2_new, state.e2),
         )
 
     def run_pass(r_wc, t_wc, w_mask):
         # g2o-style initial lambda: tau * max diagonal of H
-        r, p_cam, inv_z = _project_residuals(r_wc, t_wc, points, obs, fx, fy, cx, cy)
-        e2 = jnp.sum(r * r, -1)
+        r, p_cam, inv_z, e2 = project(r_wc, t_wc)
         w = w_mask * _cauchy_weights(e2, delta2)
         jac = _jacobians(p_cam, inv_z, fx, fy)
         h_diag = psum(jnp.einsum("m,mki,mki->i", w, jac, jac))
         lam0 = LM_TAU * jnp.max(h_diag) + 1e-12
         state = _LMState(
             r_wc, t_wc, lam0, jnp.asarray(2.0, dtype),
-            robust_chi2(r_wc, t_wc, w_mask),
+            robust_chi2(e2, w_mask), r, p_cam, inv_z, e2,
         )
         state = jax.lax.fori_loop(
             0, N_ITERS_PER_PASS, lambda _, s: lm_iteration(s, w_mask), state
@@ -186,10 +198,9 @@ def solve_pnp(
         state = run_pass(r_wc, t_wc, w_mask)
         r_wc, t_wc = state.r_wc, state.t_wc
         # demotion: raw (non-robust) chi2 > threshold leaves the next pass
-        # (and the inlier count), reference lvt_pnp_solver.cpp:108-117
-        r, _, _ = _project_residuals(r_wc, t_wc, points, obs, fx, fy, cx, cy)
-        e2 = jnp.sum(r * r, -1)
-        w_mask = w_mask * (e2 <= delta2)
+        # (and the inlier count), reference lvt_pnp_solver.cpp:108-117;
+        # state.e2 is already the residual at the pass-end pose
+        w_mask = w_mask * (state.e2 <= delta2)
 
     inlier_mask = w_mask > 0
     # back to camera-in-world

@@ -20,6 +20,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from lvt_tpu.io.synthetic import ate_rmse
+from lvt_tpu.io.trajectory import rot_rmse_deg, rpe_rmse
 from tools.oracle import OracleVO, OracleParams
 from tools.oracle.scenarios import SCENARIOS, by_name
 
@@ -34,19 +35,27 @@ def run_scenario(sc) -> dict:
         img_height=world.height,
     )
     vo = OracleVO(params, sensor=sc.sensor)
-    est, gt = [], []
+    est, est_r, gt, gt_r = [], [], [], []
     t0 = time.perf_counter()
-    for a, b, t in sc.frames():
+    for a, b, (r, t) in sc.frames():
         pose = vo.track(a, b)
         est.append(pose[1])
+        est_r.append(pose[0])
         gt.append(t)
+        gt_r.append(r)
     dt = time.perf_counter() - t0
     est = np.array(est)
+    est_r = np.array(est_r)
     gt = np.array(gt)
+    gt_r = np.array(gt_r)
     return {
         "est_t": est,
+        "est_r": est_r,
         "gt_t": gt,
+        "gt_r": gt_r,
         "ate": np.float64(ate_rmse(est, gt)),
+        "rpe": np.float64(rpe_rmse(est, gt)),
+        "rot": np.float64(rot_rmse_deg(est_r, gt_r)),
         "fps": np.float64(len(gt) / dt),
         "final_state": np.int32(vo.get_state()),
         "n_frames": np.int32(sc.n_frames),
@@ -63,7 +72,8 @@ def main():
         res = run_scenario(sc)
         out = GOLDEN_DIR / f"{name}.npz"
         np.savez_compressed(out, **res)
-        print(f"   ATE {float(res['ate']):.4f} m  "
+        print(f"   ATE {float(res['ate']):.4f} m  RPE {float(res['rpe']):.4f} m"
+              f"  rot {float(res['rot']):.3f} deg  "
               f"{float(res['fps']):.2f} fps  state={int(res['final_state'])}"
               f"  -> {out}")
 

@@ -18,7 +18,9 @@ import pytest
 
 from lvt_tpu.config import VOConfig
 from lvt_tpu.core.system import SensorType, VOSystem
+from lvt_tpu.geometry import quaternion as quat
 from lvt_tpu.io.synthetic import ate_rmse
+from lvt_tpu.io.trajectory import rot_rmse_deg, rpe_rmse
 from tools.oracle.scenarios import SCENARIOS
 
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
@@ -34,29 +36,42 @@ def _config(sc) -> VOConfig:
 
 
 @pytest.mark.parametrize("sc", SCENARIOS, ids=[s.name for s in SCENARIOS])
-def test_ate_within_oracle_margin(sc):
+def test_trajectory_within_oracle_margin(sc):
+    """Three parity axes against the stored oracle run on identical frames:
+    absolute trajectory error, 1-frame relative pose error (local drift),
+    and rotation RMSE — each bounded by oracle * rel_margin + abs."""
     golden_path = GOLDEN_DIR / f"{sc.name}.npz"
     assert golden_path.exists(), (
         f"golden fixture missing; run scripts/make_goldens.py {sc.name}"
     )
     golden = np.load(golden_path)
-    oracle_ate = float(golden["ate"])
     assert int(golden["n_frames"]) == sc.n_frames, "fixture out of date"
 
     sensor = SensorType.RGBD if sc.sensor == "rgbd" else SensorType.STEREO
     vo = VOSystem(_config(sc), sensor)
-    est, gt = [], []
-    for a, b, t in sc.frames():
+    est, est_r, gt, gt_r = [], [], [], []
+    for a, b, (r, t) in sc.frames():
         pose = vo.track(a, b)
         est.append(np.asarray(pose.t))
+        est_r.append(np.asarray(quat.to_matrix(pose.q)))
         gt.append(t)
-    ate = ate_rmse(np.array(est), np.array(gt))
-
-    bound = oracle_ate * sc.rel_margin + sc.abs_margin
-    assert ate <= bound, (
-        f"{sc.name}: lvt_tpu ATE {ate:.4f} m exceeds oracle bound "
-        f"{bound:.4f} m (oracle ATE {oracle_ate:.4f} m)"
-    )
+        gt_r.append(r)
+    est, gt = np.array(est), np.array(gt)
+    checks = [
+        ("ATE", ate_rmse(est, gt), float(golden["ate"]), sc.abs_margin, "m"),
+        ("RPE(1)", rpe_rmse(est, gt), float(golden["rpe"]),
+         sc.rpe_abs_margin, "m"),
+        ("rot", rot_rmse_deg(np.array(est_r), np.array(gt_r)),
+         float(golden["rot"]), sc.rot_abs_margin, "deg"),
+    ]
+    failures = [
+        f"{name}: lvt_tpu {ours:.4f} {unit} > bound "
+        f"{oracle * sc.rel_margin + abs_m:.4f} {unit} "
+        f"(oracle {oracle:.4f} {unit})"
+        for name, ours, oracle, abs_m, unit in checks
+        if ours > oracle * sc.rel_margin + abs_m
+    ]
+    assert not failures, f"{sc.name}: " + "; ".join(failures)
 
 
 def test_descriptor_level_parity(rng):

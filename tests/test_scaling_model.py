@@ -33,7 +33,7 @@ COLLECTIVE_FAMILIES = (
 
 # the pinned model: static collective call sites in the sharded step
 # (loop bodies count once; all three status branches contribute)
-EXPECTED_SHARDED = {"psum": 29, "pmin": 3}
+EXPECTED_SHARDED = {"psum": 28, "pmin": 3}
 
 
 def _subjaxprs(v):
