@@ -68,7 +68,10 @@ def main():
         poses, _ = vo.track_chunk(
             il[c * CHUNK : (c + 1) * CHUNK], ir[c * CHUNK : (c + 1) * CHUNK]
         )
-    jax.block_until_ready(poses.t)
+    # anchor on a real value readback, not just block_until_ready: through a
+    # relayed PJRT client the ready-fence can resolve before compute, and a
+    # scalar D2H is the only airtight barrier (cost: one [CHUNK,3] transfer)
+    np.asarray(poses.t)
     dt = time.perf_counter() - t0
 
     fps = (N_CHUNKS * CHUNK) / dt
@@ -126,7 +129,7 @@ def main_multistream():
         poses, _ = msvo.track_chunk(
             il[c * chunk : (c + 1) * chunk], ir[c * chunk : (c + 1) * chunk]
         )
-    jax.block_until_ready(poses.t)
+    np.asarray(poses.t)  # value-readback anchor (see main())
     dt = time.perf_counter() - t0
 
     fps_per_chip = (n_chunks * chunk * s) / dt / n_dev

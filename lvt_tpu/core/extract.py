@@ -37,7 +37,9 @@ def _pad_to(arr: jnp.ndarray, capacity: int, axis: int = 0) -> jnp.ndarray:
 def _use_pallas(config: VOConfig) -> bool:
     if config.use_pallas_perception is not None:
         return config.use_pallas_perception
-    return jax.default_backend() == "tpu"
+    from lvt_tpu.backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def perception_batched(imgs: jnp.ndarray, config: VOConfig):

@@ -81,7 +81,9 @@ def _use_matching_kernel(config: VOConfig, site: str = "mrs") -> bool:
     # see config.pallas_matching_sites) so the kernel can be enabled
     # per-site by the TPU bisection scripts.
     if config.use_pallas_matching is None:
-        enabled = jax.default_backend() == "tpu"
+        from lvt_tpu.backend import is_tpu_backend
+
+        enabled = is_tpu_backend()
     else:
         enabled = config.use_pallas_matching
     return enabled and any(s in config.pallas_matching_sites for s in site)
@@ -90,7 +92,9 @@ def _use_matching_kernel(config: VOConfig, site: str = "mrs") -> bool:
 def _use_mxu_hamming(config: VOConfig) -> bool:
     if config.use_mxu_hamming is not None:
         return config.use_mxu_hamming
-    return jax.default_backend() == "tpu"
+    from lvt_tpu.backend import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def _camera_kwargs(config: VOConfig) -> dict:

@@ -78,8 +78,10 @@ def track_run(world, frames, kernels_on: bool):
 def main() -> int:
     import jax
 
+    from lvt_tpu.backend import is_tpu_backend
+
     print(f"devices: {jax.devices()}", flush=True)
-    assert jax.default_backend() == "tpu", (
+    assert is_tpu_backend(), (
         "smoke lane must run on the real chip (JAX_PLATFORMS=axon)"
     )
     world = make_world()
