@@ -10,9 +10,11 @@ row-matching, triangulation and map insertion — is ONE pure function
     track_step(state, frame) -> (state', pose, metrics)
 
 compiled once per (config, shapes). The reference's state machine
-(NOT_INITIALIZED / TRACKING / LOST) becomes a `lax.switch` over three
-branches with identical output pytrees; its retry/policy branches become
-masks and `where` selects (always computed, conditionally selected). The
+(NOT_INITIALIZED / TRACKING / LOST) becomes ONE predicated tracking body —
+the init frame IS a tracking frame over an empty map with forced-identity
+prediction and triangulation forced on, the lost frame a pure output select
+(see track_features) — and its retry/policy branches become masks and
+`where` selects (always computed, conditionally selected). The
 host<->device boundary is image-in / pose-out.
 """
 

@@ -206,21 +206,22 @@ def select_corners(
     cells = cells.reshape(ncy * ncx, s_y * s_x)
 
     threshold = jnp.asarray(threshold, jnp.float32)
-    # low-corner fallback: halve the threshold (round like the reference's
-    # int(t * 0.5 + 0.5)) if the *capped* total would fall below the bar
-    count_at = lambda t: jnp.sum(
-        jnp.minimum(jnp.sum(cells > t, axis=1), max_per_cell)
-    )
-    t_low = jnp.floor(threshold * 0.5 + 0.5)
-    use_low = count_at(threshold) < corners_low_threshold
-    t_eff = jnp.where(use_low, t_low, threshold)
 
     # TPU-optimized approximate top-k (recall ~0.95) instead of the exact
     # sort-based lax.top_k: cells are ~62k pixels wide and the full bitonic
     # sort dominated the step profile. Corner *selection* tolerates
     # approximation by construction (the reference's ANMS picks a different
     # subset than top-k anyway; parity is judged at trajectory level).
+    # Selection is threshold-independent, so the low-corner fallback counts
+    # what would actually be SELECTED at the base threshold (not an exact
+    # count over the map, which could exceed the approx selection near the
+    # bar and flicker the fallback decision) — the halved retry threshold
+    # rounds like the reference's int(t * 0.5 + 0.5)
+    # (lvt_image_features_handler.cpp:161-169).
     top_scores, flat_idx = jax.lax.approx_max_k(cells, max_per_cell)
+    t_low = jnp.floor(threshold * 0.5 + 0.5)
+    use_low = jnp.sum(top_scores > threshold) < corners_low_threshold
+    t_eff = jnp.where(use_low, t_low, threshold)
     valid = top_scores > t_eff
 
     cell_ids = jnp.arange(ncy * ncx)[:, None]

@@ -112,6 +112,18 @@ class TestDetectCorners:
         assert float(det_fallback.threshold_used) == 30.0
         assert int(det_fallback.count) >= int(det_strict.count)
 
+    def test_fallback_counts_selected_corners(self, rng):
+        """The fallback decision keys on what selection would actually
+        produce: with max_per_cell capping selection below the bar, the
+        halved threshold must fire even if the raw above-threshold count
+        exceeds corners_low_threshold."""
+        img, _ = synthetic_corner_image(rng, 128, 128, n_blobs=60)
+        det = detect.detect_corners(
+            jnp.array(img), 20.0, cell_size=64, max_per_cell=2,
+            corners_low_threshold=9,  # 4 cells * 2 = 8 selected < 9
+        )
+        assert float(det.threshold_used) == 10.0
+
     def test_single_cell_image(self, rng):
         """cell_size larger than the image (TUM config: 2000 on 640x480)."""
         img, _ = synthetic_corner_image(rng, 120, 160)
