@@ -15,14 +15,20 @@ import numpy as np
 CHUNK = 16
 
 
+def _anchor(out):
+    # value readback, not just block_until_ready: a relayed client's ready
+    # fence can resolve before compute
+    np.asarray(jax.tree_util.tree_leaves(out)[-1])
+
+
 def timeit(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _anchor(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _anchor(out)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
@@ -44,16 +50,18 @@ def main():
         extent_x=80.0, extent_y=20.0, extent_z=160.0,
     )
     frames = list(world.stereo_sequence(CHUNK + 10, speed=0.9))
-    il = jnp.asarray(np.stack([f[0] for f in frames]), jnp.float32)
-    ir = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+    # uint8 like the production path (kernel A takes the uint8 DMA route)
+    il = jnp.asarray(np.stack([f[0].astype(np.uint8) for f in frames]))
+    ir = jnp.asarray(np.stack([f[1].astype(np.uint8) for f in frames]))
 
     state = VOState.initial(config.max_map_points, config.max_staged_points,
                             config.local_ba_window)
     step = jax.jit(lambda s, a, b: step_mod.track_step_stereo(s, a, b, config))
     for i in range(10):
         state, _, _ = step(state, il[i], ir[i])
-    jax.block_until_ready(state.pose.t)
-    print(f"backend={jax.default_backend()} map={int(state.map.size())}")
+    np.asarray(state.pose.t)  # fence + warm the D2H channel
+    print(f"backend={jax.default_backend()} map={int(state.map.size())}",
+          flush=True)
 
     ca, cb = il[10:10 + CHUNK], ir[10:10 + CHUNK]
     k = config.kp_capacity
