@@ -149,12 +149,23 @@ def main():
         ("+ bookkeeping/staged", body3),
         ("full step", body4),
     ]
+    # Through the remote-compile relay, a SECOND executable sharing Pallas
+    # kernel names in one process can fail at runtime with InvalidArgument
+    # (same signature as the round-2 top-2 composition bug); --row N runs a
+    # single prefix so a driver loop can profile one executable per process.
+    import sys
+
+    sel = None
+    if "--row" in sys.argv:
+        sel = int(sys.argv[sys.argv.index("--row") + 1])
     prev = 0.0
-    for name, body in rows:
+    for idx, (name, body) in enumerate(rows):
+        if sel is not None and idx != sel:
+            continue
         ms = timeit(scan_over(body), state, ca, cb)
         per = ms / CHUNK
         print(f"{name:24s} {ms:8.2f} ms/chunk  {per:6.3f} ms/fr  "
-              f"(marginal {per - prev:+6.3f})")
+              f"(marginal {per - prev:+6.3f})", flush=True)
         prev = per
 
 
