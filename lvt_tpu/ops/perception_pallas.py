@@ -225,7 +225,7 @@ def perception_maps_batched(
             _score_smooth_kernel, img_h=h, img_w=w, col_tile=col_tile
         ),
         grid=(bsz, n_tiles_a, n_col),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
             pl.BlockSpec((1, TILE_ROWS_A, col_tile), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
@@ -259,7 +259,7 @@ def perception_maps_batched(
     planes = pl.pallas_call(
         functools.partial(_brief_kernel, col_tile=col_tile),
         grid=(bsz, n_tiles_b, n_col),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 8, TILE_ROWS_B, col_tile), lambda b, i, j: (b, 0, i, j),
             memory_space=pltpu.VMEM,
