@@ -79,6 +79,24 @@ class VOSystem:
         )
         self.last_metrics: Optional[StepMetrics] = None
 
+    # last_metrics is lazy after a chunk dispatch: slicing the final frame
+    # out of every metrics leaf is ~13 eager device ops, which would land
+    # inside the benchmark/serving hot loop on every track_chunk call; the
+    # slice is deferred to first access instead.
+    @property
+    def last_metrics(self) -> Optional[StepMetrics]:
+        if self._pending_chunk_metrics is not None:
+            self._last_metrics = jax.tree.map(
+                lambda x: x[-1], self._pending_chunk_metrics
+            )
+            self._pending_chunk_metrics = None
+        return self._last_metrics
+
+    @last_metrics.setter
+    def last_metrics(self, value: Optional[StepMetrics]) -> None:
+        self._last_metrics = value
+        self._pending_chunk_metrics = None
+
     # -- lifecycle ------------------------------------------------------
     @staticmethod
     def create(config: VOConfig, sensor_type: SensorType = SensorType.STEREO,
@@ -220,7 +238,8 @@ class VOSystem:
             self.state, poses, metrics = step_mod.track_chunk_rgbd(
                 self.state, a, b, self.config
             )
-        self.last_metrics = jax.tree.map(lambda x: x[-1], metrics)
+        self._last_metrics = None
+        self._pending_chunk_metrics = metrics
         if self.metrics_recorder is not None:
             n = a.shape[0]
             for i in range(n):

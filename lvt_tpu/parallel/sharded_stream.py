@@ -156,6 +156,23 @@ class ShardedStreamVO:
         )
         self.last_metrics = None
 
+    # deferred final-frame slice after track_chunk — see
+    # core/system.py: the eager per-leaf slice would otherwise put ~13
+    # tiny dispatches inside the serving hot loop
+    @property
+    def last_metrics(self):
+        if self._pending_chunk_metrics is not None:
+            self._last_metrics = jax.tree.map(
+                lambda x: x[-1], self._pending_chunk_metrics
+            )
+            self._pending_chunk_metrics = None
+        return self._last_metrics
+
+    @last_metrics.setter
+    def last_metrics(self, value):
+        self._last_metrics = value
+        self._pending_chunk_metrics = None
+
     def track(self, img_left, img_right) -> Pose:
         self.state, pose, self.last_metrics = track_step_stereo_sharded(
             self.state, jnp.asarray(img_left, jnp.float32),
@@ -169,7 +186,8 @@ class ShardedStreamVO:
             self.state, jnp.asarray(imgs_left), jnp.asarray(imgs_right),
             self.config, self.mesh, self.axis,
         )
-        self.last_metrics = jax.tree.map(lambda x: x[-1], metrics)
+        self._last_metrics = None
+        self._pending_chunk_metrics = metrics
         return poses, metrics
 
     @property

@@ -6,7 +6,11 @@ between consecutive rows is that stage's real cost inside the production
 dispatch (no per-dispatch tunnel overhead, real fusion). Perf tool.
 """
 
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
