@@ -64,3 +64,33 @@ def test_chunk_rgbd():
     gt = np.array([f[2][1] for f in frames])
     err = np.linalg.norm(np.asarray(poses.t) - gt, axis=-1)
     assert err.max() < 0.5
+
+
+def test_last_metrics_lazy_after_chunk():
+    """last_metrics after a chunk is the FINAL frame's metrics, computed
+    lazily (the slice must not ride inside the dispatch loop), and the
+    deferred value must survive interleaving with reset/track transitions."""
+    world = make_world()
+    cfg = make_config(world)
+    frames = [(l, r) for l, r, _ in world.stereo_sequence(6, speed=0.4)]
+    il = np.stack([f[0] for f in frames]).astype(np.float32)
+    ir = np.stack([f[1] for f in frames]).astype(np.float32)
+
+    vo = VOSystem(cfg)
+    _, metrics = vo.track_chunk(il, ir)
+    lm = vo.last_metrics
+    assert lm is not None
+    np.testing.assert_array_equal(
+        np.asarray(lm.tracked_map_points),
+        np.asarray(metrics.tracked_map_points)[-1],
+    )
+    # cached on second access (same object, no recompute)
+    assert vo.last_metrics is lm
+
+    # a single-frame track overwrites the deferred chunk value
+    vo.track(frames[0][0], frames[0][1])
+    assert vo.last_metrics.tracked_map_points.ndim == 0
+
+    # reset clears it
+    vo.reset()
+    assert vo.last_metrics is None
