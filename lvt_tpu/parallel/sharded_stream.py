@@ -31,6 +31,7 @@ parallelism-inventory item (c).
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -154,24 +155,28 @@ class ShardedStreamVO:
             state,
             jax.tree.map(lambda s: NamedSharding(mesh, s), state_specs(axis)),
         )
+        self._metrics_lock = threading.Lock()
         self.last_metrics = None
 
     # deferred final-frame slice after track_chunk — see
     # core/system.py: the eager per-leaf slice would otherwise put ~13
-    # tiny dispatches inside the serving hot loop
+    # tiny dispatches inside the serving hot loop; lock-guarded so a
+    # monitor thread can read concurrently with a tracking thread
     @property
     def last_metrics(self):
-        if self._pending_chunk_metrics is not None:
-            self._last_metrics = jax.tree.map(
-                lambda x: x[-1], self._pending_chunk_metrics
-            )
-            self._pending_chunk_metrics = None
-        return self._last_metrics
+        with self._metrics_lock:
+            if self._pending_chunk_metrics is not None:
+                self._last_metrics = jax.tree.map(
+                    lambda x: x[-1], self._pending_chunk_metrics
+                )
+                self._pending_chunk_metrics = None
+            return self._last_metrics
 
     @last_metrics.setter
     def last_metrics(self, value):
-        self._last_metrics = value
-        self._pending_chunk_metrics = None
+        with self._metrics_lock:
+            self._last_metrics = value
+            self._pending_chunk_metrics = None
 
     def track(self, img_left, img_right) -> Pose:
         self.state, pose, self.last_metrics = track_step_stereo_sharded(
@@ -186,8 +191,9 @@ class ShardedStreamVO:
             self.state, jnp.asarray(imgs_left), jnp.asarray(imgs_right),
             self.config, self.mesh, self.axis,
         )
-        self._last_metrics = None
-        self._pending_chunk_metrics = metrics
+        with self._metrics_lock:
+            self._last_metrics = None
+            self._pending_chunk_metrics = metrics
         return poses, metrics
 
     @property
