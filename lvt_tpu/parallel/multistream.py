@@ -183,7 +183,7 @@ class MultiStreamVO:
         self.state_sharding = jax.tree.map(
             lambda _: sharding, batched_initial_state(config, n_streams)
         )
-        self.states = jax.device_put(
+        self.states = self._put_state(
             batched_initial_state(config, n_streams), sharding
         )
         self.image_sharding = sharding
@@ -193,6 +193,11 @@ class MultiStreamVO:
         self.chunk_sharding = NamedSharding(
             self.mesh, P(None, mesh_mod.STREAM_AXIS)
         )
+
+    def _put_state(self, state, sharding):
+        """Place the initial batched state (overridden by the multi-host
+        subclass, where device_put cannot address remote shards)."""
+        return jax.device_put(state, sharding)
 
     def _put2(self, imgs1, imgs2, sharding):
         # dtype is preserved (uint8 uploads 4x less than float32; the jitted
