@@ -32,6 +32,7 @@ def test_chunk_matches_per_frame_stereo():
     )
 
 
+@pytest.mark.slow
 def test_chunk_split_matches_single_chunk():
     world = make_world(seed=3)
     cfg = make_config(world)

@@ -42,7 +42,8 @@ def kitti_tree(tmp_path_factory):
     return root, np.array(gt)
 
 
-@pytest.mark.parametrize("chunk", [1, 4])
+@pytest.mark.parametrize(
+    "chunk", [1, pytest.param(4, marks=pytest.mark.slow)])
 def test_kitti_cli(kitti_tree, tmp_path, chunk):
     root, gt = kitti_tree
     out = str(tmp_path / f"03_{chunk}.txt")
@@ -169,6 +170,7 @@ def _render_euroc_raw(points, intensities, t_rect, right):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_euroc_cli(tmp_path):
     """EuRoC layout end-to-end: raw distorted frames in, on-device
     rectification inside the jitted step, body-frame TUM trajectory out."""

@@ -169,6 +169,7 @@ class TestExternalCorners:
 
 
 class TestLocalBA:
+    @pytest.mark.slow
     def test_local_ba_reduces_drift_under_noise(self):
         """Sliding-window BA (opt-in) earns its keep on *noisy* observations,
         where multi-view structure refinement averages out triangulation

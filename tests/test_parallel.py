@@ -32,6 +32,7 @@ class TestShardedPnP:
         uv, _ = observe(pts, pose)
         return pts, pose, uv
 
+    @pytest.mark.slow
     def test_matches_single_device_solution(self, rng):
         from tests.test_pnp import FX, FY, CX, CY
 
@@ -56,6 +57,7 @@ class TestShardedPnP:
         np.testing.assert_array_equal(np.asarray(got.inlier_mask),
                                       np.asarray(ref.inlier_mask))
 
+    @pytest.mark.slow
     def test_sharded_recovers_pose(self, rng):
         from tests.test_pnp import FX, FY, CX, CY, pose_error
 
@@ -87,6 +89,7 @@ class TestMultiStream:
         frames = list(world.stereo_sequence(n_frames, speed=0.3))
         return world, cfg, frames
 
+    @pytest.mark.slow
     def test_streams_shard_over_mesh_and_track(self):
         world, cfg, frames = self.make()
         s = 8
@@ -105,6 +108,7 @@ class TestMultiStream:
         err = np.linalg.norm(est[0] - gts[-1])
         assert err < 0.3, err
 
+    @pytest.mark.slow
     def test_matches_single_stream_result(self):
         from lvt_tpu.core.system import VOSystem
 
@@ -149,6 +153,7 @@ class TestMultiStream:
         # the two streams genuinely tracked different trajectories
         assert np.linalg.norm(est[0] - est[1]) > 0.1
 
+    @pytest.mark.slow
     def test_chunked_matches_per_frame_dispatch(self):
         """One scanned [N, S] dispatch == N sequential [S] dispatches."""
         world, cfg, frames = self.make(n_frames=6)
@@ -168,6 +173,7 @@ class TestMultiStream:
         )
         np.testing.assert_array_equal(chk.status, ref.status)
 
+    @pytest.mark.slow
     def test_chunked_rgbd_multistream_tracks(self):
         """RGB-D multistream chunk mode: all streams track, the chunked
         dispatch equals per-frame dispatches, and the trajectory follows

@@ -35,7 +35,12 @@ def _config(sc) -> VOConfig:
     )
 
 
-@pytest.mark.parametrize("sc", SCENARIOS, ids=[s.name for s in SCENARIOS])
+@pytest.mark.parametrize(
+    "sc",
+    [pytest.param(s, marks=[] if s.name == "fast" else [pytest.mark.slow])
+     for s in SCENARIOS],
+    ids=[s.name for s in SCENARIOS],
+)
 def test_trajectory_within_oracle_margin(sc):
     """Three parity axes against the stored oracle run on identical frames:
     absolute trajectory error, 1-frame relative pose error (local drift),
@@ -108,6 +113,7 @@ def test_descriptor_level_parity(rng):
     assert np.median(ham) == 0
 
 
+@pytest.mark.slow
 def test_goldens_tracked_to_completion():
     """The stored oracle runs themselves must not have been LOST — otherwise
     the ATE bound is vacuous."""

@@ -45,6 +45,7 @@ def valid_point_set(store):
     return rows[np.lexsort(rows.T)]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ba", [0, 4], ids=["plain", "local_ba"])
 def test_sharded_map_matches_unsharded(ba):
     cfg, frames = make_setup(local_ba_window=ba)
@@ -93,6 +94,7 @@ def test_sharded_chunk_matches_per_frame():
     assert a.map_size == b.map_size
 
 
+@pytest.mark.slow
 def test_sharded_map_at_capacity_degrades_gracefully():
     """The documented capacity caveat (sharded_stream.py module docstring):
     once an individual shard's block fills, its insertion subset drops even

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from lvt_tpu import viz
 from lvt_tpu.core.system import VOSystem
@@ -33,6 +34,7 @@ def test_draw_map_and_trajectory(tmp_path):
     assert os.path.getsize(p2) > 1000
 
 
+@pytest.mark.slow
 def test_feature_overlay_from_live_tracked_frame(tmp_path):
     """The age-colored feature display renders real per-feature match data
     from a tracked frame (reference: lvt_visualization.cpp:99-135)."""
