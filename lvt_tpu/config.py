@@ -112,6 +112,14 @@ class VOConfig:
     # s = staged-point re-match. Lets the kernel land partially and lets
     # the TPU bisection scripts isolate a failing composition.
     pallas_matching_sites: str = "mrs"
+    # BRIEF evaluation strategy: dense (default) computes packed bit-planes
+    # for every pixel in the fused perception kernel; sparse gathers the 64
+    # pool samples per selected keypoint from the smoothed image (one flat
+    # take, bit-identical to the dense result at keypoint positions).
+    # Measured on v5e (r4): the sparse XLA gather lowers so poorly that the
+    # full step DROPPED 538 -> 283 fps, so dense stays the production
+    # default until the gather gets a dedicated kernel.
+    use_dense_brief: bool = True
 
     # ---- observability
     enable_logging: bool = False

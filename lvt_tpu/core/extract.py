@@ -43,23 +43,28 @@ def _use_pallas(config: VOConfig) -> bool:
 
 
 def perception_batched(imgs: jnp.ndarray, config: VOConfig):
-    """[B, H, W] -> (raw_score, nms_score [B, H, W], planes [B, 8, H, W])."""
+    """[B, H, W] -> (raw_score, nms_score [B, H, W], aux) where aux is the
+    smoothed image [B, H, W] (sparse-BRIEF default) or the packed dense
+    bit-planes [B, 8, H, W] (config.use_dense_brief)."""
     if _use_pallas(config):
-        from lvt_tpu.ops.perception_pallas import perception_maps_batched
+        from lvt_tpu.ops import perception_pallas as pp
 
-        return perception_maps_batched(imgs)
+        if config.use_dense_brief:
+            return pp.perception_maps_batched(imgs)
+        return pp.score_smooth_batched(imgs)
 
     def one(img):
         img = img.astype(jnp.float32)
         raw = detect.fast_score_map(img)
-        return raw, detect.nms3x3(raw), brief.dense_descriptor_planes(
-            brief.box_smooth(img)
-        )
+        smooth = brief.box_smooth(img)
+        aux = (brief.dense_descriptor_planes(smooth)
+               if config.use_dense_brief else smooth)
+        return raw, detect.nms3x3(raw), aux
 
     return jax.vmap(one)(imgs)
 
 
-def _select_and_describe(raw, nms, planes, config: VOConfig) -> FrameFeatures:
+def _select_and_describe(raw, nms, aux, config: VOConfig) -> FrameFeatures:
     """Per-image selection + descriptor gather (vmappable)."""
     det = detect.select_corners(
         raw, nms, config.agast_threshold,
@@ -67,7 +72,10 @@ def _select_and_describe(raw, nms, planes, config: VOConfig) -> FrameFeatures:
         max_per_cell=config.max_keypoints_per_cell,
         corners_low_threshold=config.corners_low_threshold,
     )
-    desc, valid = brief.descriptors_from_planes(planes, det.kp, det.valid)
+    if config.use_dense_brief:
+        desc, valid = brief.descriptors_from_planes(aux, det.kp, det.valid)
+    else:
+        desc, valid = brief.descriptors_sparse(aux, det.kp, det.valid)
     cap = config.kp_capacity
     return FrameFeatures(
         kp=_pad_to(det.kp, cap),

@@ -134,6 +134,45 @@ def dense_descriptor_planes(smooth: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(planes)
 
 
+def descriptors_sparse(
+    smooth: jnp.ndarray,    # [H, W] float32 box-smoothed image
+    kp: jnp.ndarray,        # [K, 2] float32 (x, y)
+    kp_valid: jnp.ndarray,  # [K] bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-keypoint BRIEF from the smoothed image with ONE flat gather.
+
+    Bit-identical to gathering ``dense_descriptor_planes`` at the keypoints
+    (same float comparisons on the same smoothed values), but does K*64
+    sample reads instead of computing 256 comparisons for every pixel —
+    the production path since round 4 (the dense planes burned ~2/3 of the
+    perception budget describing 466k pixels when <=1k are keypoints).
+    The historical slow sparse attempts (512 scalar gathers per keypoint,
+    per-keypoint dynamic-slice patches — see dense_descriptor_planes) died
+    on op count, not gather volume; a single [K, 64]-index take is one op."""
+    h, w = smooth.shape
+    x = jnp.round(kp[:, 0]).astype(jnp.int32)
+    y = jnp.round(kp[:, 1]).astype(jnp.int32)
+    inside = (
+        (x >= BORDER) & (x < w - BORDER) & (y >= BORDER) & (y < h - BORDER)
+    )
+    valid = kp_valid & inside
+    # clamp so even masked-out keypoints index in-bounds (offsets reach ±15)
+    xc = jnp.clip(x, _HALF + 1, w - _HALF - 2)
+    yc = jnp.clip(y, _HALF + 1, h - _HALF - 2)
+    pool = sample_pool()                      # [64, 2] static (dx, dy)
+    idx = ((yc[:, None] + pool[None, :, 1]) * w
+           + (xc[:, None] + pool[None, :, 0]))         # [K, 64]
+    vals = jnp.take(smooth.reshape(-1), idx.reshape(-1), axis=0,
+                    unique_indices=False).reshape(idx.shape)  # [K, 64]
+    pairs = pair_indices()                    # [256, 2] static
+    bits = vals[:, pairs[:, 0]] < vals[:, pairs[:, 1]]  # [K, 256]
+    packed = bits.reshape(-1, 8, 32).astype(jnp.uint32) << jnp.arange(
+        32, dtype=jnp.uint32
+    )
+    desc = packed.sum(axis=-1, dtype=jnp.uint32)        # [K, 8] (bits disjoint)
+    return jnp.where(valid[:, None], desc, jnp.uint32(0)), valid
+
+
 def descriptors_from_planes(
     planes: jnp.ndarray,    # [8, H, W] uint32 packed bit-planes
     kp: jnp.ndarray,        # [K, 2] float32 (x, y)
@@ -161,5 +200,4 @@ def compute_descriptors(
     kp_valid: jnp.ndarray,  # [K] bool
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (desc [K, 8] uint32, valid [K] bool with border removal)."""
-    planes = dense_descriptor_planes(box_smooth(img))  # [8, H, W]
-    return descriptors_from_planes(planes, kp, kp_valid)
+    return descriptors_sparse(box_smooth(img), kp, kp_valid)

@@ -193,17 +193,9 @@ def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
         planes_ref[0, word, :, :] = central(acc)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def perception_maps_batched(
-    imgs: jnp.ndarray, interpret: bool = False
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched fused perception: imgs [B, H, W] ->
-    (raw_score [B, H, W], nms_score [B, H, W], planes [B, 8, H, W]).
-
-    The batch is a leading grid dimension (NOT vmap: the TPU lowering of
-    ANY-memory-space inputs does not support vmap's batched block specs);
-    stereo pairs and multi-stream batches all route through here.
-    """
+def _run_kernel_a(imgs: jnp.ndarray, interpret: bool):
+    """Kernel A over a [B, H, W] batch -> (raw, score, smooth) padded to
+    tile multiples (crop with [:, :h, :w])."""
     bsz, h, w = imgs.shape
     # uint8 input stays uint8 through the pad + DMA (kernel A widens in
     # VMEM); any other dtype normalizes to float32
@@ -248,6 +240,54 @@ def perception_maps_batched(
         ],
         interpret=interpret,
     )(padded)
+    return raw, score, smooth
+
+
+def _interior_mask(h: int, w: int):
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    return ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_smooth_batched(
+    imgs: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Kernel A only: imgs [B, H, W] -> (raw_score, nms_score, smooth),
+    each [B, H, W]. The production perception path since the sparse-BRIEF
+    switch (ops/brief.descriptors_sparse): descriptors are gathered from
+    ``smooth`` at the selected keypoints, so the dense bit-plane kernel B
+    never runs."""
+    bsz, h, w = imgs.shape
+    raw, score, smooth = _run_kernel_a(imgs, interpret)
+    raw = raw[:, :h, :w]
+    score = score[:, :h, :w]
+    interior = _interior_mask(h, w)
+    return (
+        jnp.where(interior, raw, 0.0),
+        jnp.where(interior, score, 0.0),
+        smooth[:, :h, :w],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def perception_maps_batched(
+    imgs: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched fused perception: imgs [B, H, W] ->
+    (raw_score [B, H, W], nms_score [B, H, W], planes [B, 8, H, W]).
+
+    The batch is a leading grid dimension (NOT vmap: the TPU lowering of
+    ANY-memory-space inputs does not support vmap's batched block specs);
+    stereo pairs and multi-stream batches all route through here.
+    """
+    bsz, h, w = imgs.shape
+    if imgs.dtype != jnp.uint8:
+        imgs = imgs.astype(jnp.float32)
+    col_tile = _col_tile(w)
+    n_col = -(-w // col_tile)
+    wp = n_col * col_tile
+    raw, score, smooth = _run_kernel_a(imgs, interpret)
 
     # ---- kernel B: BRIEF planes from the smoothed image
     n_tiles_b = -(-h // TILE_ROWS_B)
@@ -278,9 +318,7 @@ def perception_maps_batched(
     raw = raw[:, :h, :w]
     score = score[:, :h, :w]
     # zero the 3px ring border like fast_score_map's interior mask
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    interior = ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))[None]
+    interior = _interior_mask(h, w)
     return (
         jnp.where(interior, raw, 0.0),
         jnp.where(interior, score, 0.0),

@@ -122,3 +122,22 @@ def test_extract_rgbd_depth_filter(rng):
     assert (kp[:, 0] < 160).all()
     d = np.asarray(feats.depth)[np.asarray(feats.valid)]
     np.testing.assert_allclose(d, 2.0)
+
+
+def test_sparse_matches_dense_planes(rng):
+    """The production sparse path (one flat gather at keypoints) must be
+    bit-identical to gathering the dense bit-planes at the same keypoints —
+    same smoothed values, same comparisons (ops/brief.descriptors_sparse)."""
+    img = jnp.asarray(rng.randint(0, 255, (96, 128)).astype(np.float32))
+    smooth = brief.box_smooth(img)
+    planes = brief.dense_descriptor_planes(smooth)
+    k = 64
+    kp = jnp.asarray(
+        np.stack([rng.uniform(0, 128, k), rng.uniform(0, 96, k)], -1)
+    ).astype(jnp.float32)
+    valid_in = jnp.asarray(rng.rand(k) > 0.2)
+
+    d_dense, v_dense = brief.descriptors_from_planes(planes, kp, valid_in)
+    d_sparse, v_sparse = brief.descriptors_sparse(smooth, kp, valid_in)
+    np.testing.assert_array_equal(np.asarray(v_sparse), np.asarray(v_dense))
+    np.testing.assert_array_equal(np.asarray(d_sparse), np.asarray(d_dense))
