@@ -41,6 +41,10 @@ def main():
     from __graft_entry__ import _kitti_config
 
     config = _kitti_config()
+    ba = "--ba" in sys.argv
+    if ba:
+        # windowed-BA cost variant (BASELINE.md windowed-BA row)
+        config = config.replace(local_ba_window=4)
     world = SyntheticWorld(
         width=config.img_width, height=config.img_height,
         fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
@@ -85,8 +89,10 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = (N_CHUNKS * CHUNK) / dt
+    suffix = ", local BA window=4" if ba else ""
     print(json.dumps({
-        "metric": "frames/sec/chip (KITTI-geometry stereo VO, synthetic world)",
+        "metric": "frames/sec/chip (KITTI-geometry stereo VO, "
+                  f"synthetic world{suffix})",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -35,19 +35,29 @@ def run_scenario(sc) -> dict:
         img_height=world.height,
     )
     vo = OracleVO(params, sensor=sc.sensor)
-    est, est_r, gt, gt_r = [], [], [], []
     t0 = time.perf_counter()
-    for a, b, (r, t) in sc.frames():
-        pose = vo.track(a, b)
-        est.append(pose[1])
-        est_r.append(pose[0])
-        gt.append(t)
-        gt_r.append(r)
+    if sc.reset_on_lost:
+        from tools.oracle.scenarios import run_with_reset_on_lost
+        from tools.oracle.system import LOST
+
+        est_r, est, gt_r, gt, went_lost = run_with_reset_on_lost(
+            lambda a, b: vo.track(a, b), vo.get_state, vo.reset,
+            sc.frames(), lost_state=LOST,
+        )
+        assert went_lost, f"{sc.name}: blackout never caused LOST"
+    else:
+        est, est_r, gt, gt_r = [], [], [], []
+        for a, b, (r, t) in sc.frames():
+            pose = vo.track(a, b)
+            est.append(pose[1])
+            est_r.append(pose[0])
+            gt.append(t)
+            gt_r.append(r)
+        est = np.array(est)
+        est_r = np.array(est_r)
+        gt = np.array(gt)
+        gt_r = np.array(gt_r)
     dt = time.perf_counter() - t0
-    est = np.array(est)
-    est_r = np.array(est_r)
-    gt = np.array(gt)
-    gt_r = np.array(gt_r)
     return {
         "est_t": est,
         "est_r": est_r,

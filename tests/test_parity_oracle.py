@@ -32,6 +32,7 @@ def _config(sc) -> VOConfig:
         fx=world.fx, fy=world.fy, cx=world.cx, cy=world.cy,
         baseline=world.baseline, img_width=world.width,
         img_height=world.height, use_pallas_perception=False,
+        **dict(sc.vo_overrides),
     )
 
 
@@ -54,14 +55,31 @@ def test_trajectory_within_oracle_margin(sc):
 
     sensor = SensorType.RGBD if sc.sensor == "rgbd" else SensorType.STEREO
     vo = VOSystem(_config(sc), sensor)
-    est, est_r, gt, gt_r = [], [], [], []
-    for a, b, (r, t) in sc.frames():
-        pose = vo.track(a, b)
-        est.append(np.asarray(pose.t))
-        est_r.append(np.asarray(quat.to_matrix(pose.q)))
-        gt.append(t)
-        gt_r.append(r)
-    est, gt = np.array(est), np.array(gt)
+    if sc.reset_on_lost:
+        from lvt_tpu.core.system import TrackingState
+        from tools.oracle.scenarios import run_with_reset_on_lost
+
+        def track(a, b):
+            pose = vo.track(a, b)
+            return (np.asarray(quat.to_matrix(pose.q)),
+                    np.asarray(pose.t))
+
+        est_r, est, gt_r, gt, went_lost = run_with_reset_on_lost(
+            track, vo.get_state, vo.reset, sc.frames(),
+            lost_state=TrackingState.LOST,
+        )
+        est_r = list(est_r)
+        assert went_lost, "blackout never caused LOST"
+        assert vo.get_state() == TrackingState.TRACKING, "did not recover"
+    else:
+        est, est_r, gt, gt_r = [], [], [], []
+        for a, b, (r, t) in sc.frames():
+            pose = vo.track(a, b)
+            est.append(np.asarray(pose.t))
+            est_r.append(np.asarray(quat.to_matrix(pose.q)))
+            gt.append(t)
+            gt_r.append(r)
+        est, gt = np.array(est), np.array(gt)
     checks = [
         ("ATE", ate_rmse(est, gt), float(golden["ate"]), sc.abs_margin, "m"),
         ("RPE(1)", rpe_rmse(est, gt), float(golden["rpe"]),
