@@ -45,7 +45,9 @@ def run_kitti(args) -> int:
     recorder = ValueRecorder() if args.record else None
     vo = VOSystem(config, metrics_recorder=recorder)
 
-    poses = _track_sequence(vo, seq, args.chunk)
+    viz = _make_viz(args)
+    poses = _track_sequence(vo, seq, args.chunk, viz)
+    _finish_viz(viz)
     out = args.output or f"{args.seq:02d}.txt"
     dump_kitti(out, poses)
     print(f"trajectory written to {out}")
@@ -54,7 +56,20 @@ def run_kitti(args) -> int:
     return 0
 
 
-def _track_sequence(vo, seq, chunk: int):
+def _make_viz(args):
+    if not getattr(args, "viz", None):
+        return None
+    from lvt_tpu.viz_html import HtmlMapViewer
+
+    return HtmlMapViewer(args.viz)
+
+
+def _finish_viz(viz):
+    if viz is not None:
+        print(f"viewer written to {viz.write_viewer()}")
+
+
+def _track_sequence(vo, seq, chunk: int, viz=None):
     """Shared per-frame / chunked tracking loop. Returns the pose list
     (stops on LOST like the reference drivers, kitti_example.cpp:133-137).
     Chunk mode streams: only `chunk` decoded frames are in host memory at a
@@ -87,12 +102,16 @@ def _track_sequence(vo, seq, chunk: int):
             for i in range(keep):
                 poses.append(jax.tree.map(lambda x: x[i], chunk_poses))
             done += keep
+            if viz is not None:
+                viz.update(vo)  # one snapshot per chunk in chunked mode
             _progress(done - 1, n, t0)
             if lost_at.size:
                 break
     else:
         for i, (a, b) in enumerate(seq):
             poses.append(vo.track(a, b))
+            if viz is not None:
+                viz.update(vo)
             _progress(i, n, t0)
             if vo.get_state() == TrackingState.LOST:
                 break
@@ -119,7 +138,9 @@ def run_euroc(args) -> int:
 
     import jax.numpy as jnp
 
-    cam_poses = _track_sequence(vo, seq, args.chunk)
+    viz = _make_viz(args)
+    cam_poses = _track_sequence(vo, seq, args.chunk, viz)
+    _finish_viz(viz)
     # express in the body frame: T_BS * T_cam (euroc_example.cpp:153-158)
     poses = [
         Pose.from_matrix44(jnp.asarray(
@@ -149,7 +170,9 @@ def run_tum(args) -> int:
     recorder = ValueRecorder() if args.record else None
     vo = VOSystem(config, SensorType.RGBD, metrics_recorder=recorder)
 
-    poses = _track_sequence(vo, seq, args.chunk)
+    viz = _make_viz(args)
+    poses = _track_sequence(vo, seq, args.chunk, viz)
+    _finish_viz(viz)
     out = args.output or "tum_trajectory.txt"
     dump_tum(out, poses, seq.stamps[: len(poses)])
     print(f"trajectory written to {out}")
@@ -172,6 +195,7 @@ def run_synthetic(args) -> int:
         near_plane_distance=0.5, far_plane_distance=200.0,
     )
     vo = VOSystem(config)
+    viz = _make_viz(args)
     est, gt = [], []
     t0 = time.perf_counter()
     for i, (img_l, img_r, (r, t)) in enumerate(
@@ -180,7 +204,10 @@ def run_synthetic(args) -> int:
         pose = vo.track(img_l, img_r)
         est.append(np.asarray(pose.t))
         gt.append(t)
+        if viz is not None:
+            viz.update(vo)
         _progress(i, args.frames, t0)
+    _finish_viz(viz)
     err = ate_rmse(np.array(est), np.array(gt))
     dist = float(np.linalg.norm(gt[-1] - gt[0]))
     print(f"\nATE RMSE: {err:.3f} m over {dist:.1f} m trajectory "
@@ -209,6 +236,8 @@ def main(argv=None) -> int:
                    help="frames per device dispatch (1 = online mode)")
     k.add_argument("--record", action="store_true",
                    help="write per-frame metrics CSV (measurments.txt)")
+    k.add_argument("--viz", default=None, metavar="DIR",
+                   help="write a browsable 3-D map viewer (viewer.html)")
     k.set_defaults(fn=run_kitti)
 
     e = sub.add_parser("euroc", help="run a EuRoC MAV sequence")
@@ -221,6 +250,8 @@ def main(argv=None) -> int:
                    help="frames per device dispatch (1 = online mode)")
     e.add_argument("--record", action="store_true",
                    help="write per-frame metrics CSV (measurments.txt)")
+    e.add_argument("--viz", default=None, metavar="DIR",
+                   help="write a browsable 3-D map viewer (viewer.html)")
     e.set_defaults(fn=run_euroc)
 
     t = sub.add_parser("tum", help="run a TUM RGB-D sequence")
@@ -233,10 +264,14 @@ def main(argv=None) -> int:
                    help="frames per device dispatch (1 = online mode)")
     t.add_argument("--record", action="store_true",
                    help="write per-frame metrics CSV (measurments.txt)")
+    t.add_argument("--viz", default=None, metavar="DIR",
+                   help="write a browsable 3-D map viewer (viewer.html)")
     t.set_defaults(fn=run_tum)
 
     s = sub.add_parser("synthetic", help="dataset-free synthetic-world run")
     s.add_argument("--frames", type=int, default=60)
+    s.add_argument("--viz", default=None, metavar="DIR",
+                   help="write a browsable 3-D map viewer (viewer.html)")
     s.set_defaults(fn=run_synthetic)
 
     b = sub.add_parser("bench", help="run the headline benchmark")

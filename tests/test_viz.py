@@ -54,3 +54,30 @@ def test_feature_overlay_from_live_tracked_frame(tmp_path):
     dumper.update(vo, last)
     overlay = tmp_path / "frames" / "features_000000.png"
     assert overlay.exists() and overlay.stat().st_size > 1000
+
+
+def test_html_viewer_artifact(tmp_path):
+    """--viz writes a self-contained viewer.html with embedded frames
+    (pose, age-colored map points, staged points) and the keyboard/follow
+    controls of the reference viewer (lvt_visualization.cpp:137-349)."""
+    import json
+    import re
+
+    from lvt_tpu.cli import main as cli_main
+
+    out = tmp_path / "viz"
+    rc = cli_main(["synthetic", "--frames", "6", "--viz", str(out)])
+    assert rc == 0
+    html = (out / "viewer.html").read_text()
+    m = re.search(r"const FRAMES=(\[.*?\]);\n", html, re.S)
+    assert m, "embedded frame data missing"
+    frames = json.loads(m.group(1))
+    assert len(frames) == 6
+    last = frames[-1]
+    assert set(last) == {"t", "R", "map", "age", "staged"}
+    assert len(last["map"]) > 50 and len(last["map"]) == len(last["age"])
+    # camera advanced forward (z) like the synthetic trajectory
+    assert last["t"][2] > 1.0
+    # the viewer logic (follow camera, playback, keyboard) is present
+    for needle in ("follow", "requestAnimationFrame", "keydown", "frustum"):
+        assert needle in html
