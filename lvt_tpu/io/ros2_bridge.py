@@ -26,11 +26,9 @@ ExactTime/ApproximateTime policy pair (lvt_ros.cpp:118-135): with
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
-
 import numpy as np
 
-from lvt_tpu.core.system import SensorType, TrackingState
+from lvt_tpu.core.system import SensorType
 from lvt_tpu.io.streaming import Odometry, StreamingVO
 
 # reference parameter list (lvt_ros.cpp:144-161): name -> (vo-config field

@@ -36,9 +36,7 @@ from lvt_tpu.core.state import VOState
 from lvt_tpu.geometry.se3 import Pose
 from lvt_tpu.parallel import multistream as ms
 from lvt_tpu.parallel import mesh as mesh_mod
-from lvt_tpu.parallel.sharded_stream import (
-    _metrics_specs, _rep_like, state_specs,
-)
+from lvt_tpu.parallel.sharded_stream import _metrics_specs, state_specs
 
 STREAM_AXIS = mesh_mod.STREAM_AXIS
 POINT_AXIS = mesh_mod.POINT_AXIS
