@@ -229,6 +229,38 @@ def main():
         s2, poses, _ = ms._step_stereo_batched(s, a, b, config)
         return s2, poses.t
 
+    # --- matching sub-stages (rows 20-22): attribute row1 - row0 ---
+    from lvt_tpu.geometry import se3 as se3_mod
+    from lvt_tpu.ops import hamming as ham
+
+    def body20(s, a, b):
+        left, right = extract_both(a, b)
+
+        def one(s1, l):
+            return ham.hamming_matrix(s1.map.desc, l.desc,
+                                      use_mxu=flags["use_mxu"]).sum()
+
+        return s, jax.vmap(one)(s, left)
+
+    def body21(s, a, b):
+        left, right = extract_both(a, b)
+
+        def one(s1, l):
+            _, predicted = predict_next_pose(s1.motion, s1.pose)
+            w2c = se3_mod.world_to_camera(predicted)
+            pts_cam = se3_mod.transform_points(w2c, s1.map.pos)
+            uv = se3_mod.project_points(pts_cam, config.fx, config.fy,
+                                        config.cx, config.cy)
+            dist = ham.hamming_matrix(s1.map.desc, l.desc,
+                                      use_mxu=flags["use_mxu"])
+            (d1, d2, best, nc), wide = matching.dual_radius_top2(
+                dist, uv, s1.map.valid, l.kp, l.valid,
+                config.tracking_radius, 2 * config.tracking_radius,
+                flags["use_kernel"])
+            return d1.sum() + wide[0].sum()
+
+        return s, jax.vmap(one)(s, left)
+
     rows = {
         0: ("extract only", body0),
         1: ("+ map match", body1),
@@ -237,6 +269,8 @@ def main():
         4: ("full step", body4),
         10: ("perception maps only", body_maps_only),
         11: ("maps + select", body_select),
+        20: ("extract + hamming mat", body20),
+        21: ("extract + ham + top2", body21),
     }
     name, body = rows[args.row]
 
