@@ -27,6 +27,7 @@ STAGES = [
     ("tpu_smoke", [sys.executable, "scripts/tpu_smoke.py"]),
     ("bench single-stream", [sys.executable, "bench.py"]),
     ("bench multistream", [sys.executable, "bench.py", "--multistream"]),
+    ("bench windowed-BA", [sys.executable, "bench.py", "--ba"]),
     ("roofline", [sys.executable, "scripts/roofline.py", "--time"]),
 ]
 
