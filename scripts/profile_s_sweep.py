@@ -261,6 +261,69 @@ def main():
 
         return s, jax.vmap(one)(s, left)
 
+    def body25(s, a, b):
+        """Like row 11 but subpixel OFF — isolates the subpixel-refine
+        scatter-gather cost inside selection."""
+        from lvt_tpu.ops import detect
+
+        raw, nms, planes = ex.perception_batched(
+            jnp.concatenate([a, b]), config)
+        det = jax.vmap(lambda r, n: detect.select_corners(
+            r, n, config.agast_threshold,
+            cell_size=config.detection_cell_size,
+            max_per_cell=config.max_keypoints_per_cell,
+            corners_low_threshold=config.corners_low_threshold,
+            subpixel=False))(raw, nms)
+        return s, det.kp.sum()
+
+    def body26(s, a, b):
+        """Perception kernels only, minimally consumed (tiny slices, no
+        full-map reductions — row 10 inflated its number with 60M-element
+        sums)."""
+        raw, nms, planes = ex.perception_batched(
+            jnp.concatenate([a, b]), config)
+        return s, (raw[:, ::64, ::64].sum() + nms[:, ::64, ::64].sum()
+                   + planes[:, :, ::64, ::64].sum(dtype=jnp.float32))
+
+    rs_d = np.random.RandomState(7)
+    const_feat_desc = jnp.asarray(
+        rs_d.randint(0, 2**32, (S, 1536, 8), np.uint64).astype(np.uint32))
+    const_map_desc = jnp.asarray(
+        rs_d.randint(0, 2**32, (S, 1024, 8), np.uint64).astype(np.uint32))
+
+    def body22(s, a, b):
+        """Extraction in the body, but hamming on CONSTANT descriptors —
+        if fast, the slowdown comes through the extraction->desc dataflow."""
+        left, right = extract_both(a, b)
+
+        def one(s1, cm, cf):
+            return ham.hamming_matrix(cm, cf,
+                                      use_mxu=flags["use_mxu"]).sum()
+
+        out = jax.vmap(one)(s, const_map_desc, const_feat_desc)
+        return s, out + left.kp.sum()
+
+    def body23(s, a, b):
+        """Real map desc (carry) x CONSTANT feature desc."""
+        left, right = extract_both(a, b)
+
+        def one(s1, cf):
+            return ham.hamming_matrix(s1.map.desc, cf,
+                                      use_mxu=flags["use_mxu"]).sum()
+
+        out = jax.vmap(one)(s, const_feat_desc)
+        return s, out + left.kp.sum()
+
+    def body24(s, a, b):
+        """CONSTANT map desc x real feature desc (extraction output)."""
+        left, right = extract_both(a, b)
+
+        def one(s1, cm, l):
+            return ham.hamming_matrix(cm, l.desc,
+                                      use_mxu=flags["use_mxu"]).sum()
+
+        return s, jax.vmap(one)(s, const_map_desc, left)
+
     rows = {
         0: ("extract only", body0),
         1: ("+ map match", body1),
@@ -271,6 +334,11 @@ def main():
         11: ("maps + select", body_select),
         20: ("extract + hamming mat", body20),
         21: ("extract + ham + top2", body21),
+        22: ("extract + ham(const,const)", body22),
+        23: ("extract + ham(carry,const)", body23),
+        24: ("extract + ham(const,feat)", body24),
+        25: ("maps + select no-subpix", body25),
+        26: ("perception maps minimal", body26),
     }
     name, body = rows[args.row]
 
