@@ -120,6 +120,10 @@ class VOConfig:
     # full step DROPPED 538 -> 283 fps, so dense stays the production
     # default until the gather gets a dedicated kernel.
     use_dense_brief: bool = True
+    # per-keypoint lookup lowering: "scatter" = plain XLA advanced-indexing
+    # gathers; "slice" = contiguous dynamic-slice formulations (interleaved
+    # descriptor words + 3x3 subpixel patches); None = auto (slice on TPU)
+    gather_mode: str | None = None
 
     # ---- observability
     enable_logging: bool = False

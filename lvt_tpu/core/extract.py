@@ -42,6 +42,14 @@ def _use_pallas(config: VOConfig) -> bool:
     return is_tpu_backend()
 
 
+def _gather_mode(config: VOConfig) -> str:
+    if config.gather_mode is not None:
+        return config.gather_mode
+    from lvt_tpu.backend import is_tpu_backend
+
+    return "slice" if is_tpu_backend() else "scatter"
+
+
 def perception_batched(imgs: jnp.ndarray, config: VOConfig):
     """[B, H, W] -> (raw_score, nms_score [B, H, W], aux) where aux is the
     smoothed image [B, H, W] (sparse-BRIEF default) or the packed dense
@@ -66,16 +74,21 @@ def perception_batched(imgs: jnp.ndarray, config: VOConfig):
 
 def _select_and_describe(raw, nms, aux, config: VOConfig) -> FrameFeatures:
     """Per-image selection + descriptor gather (vmappable)."""
+    mode = _gather_mode(config)
     det = detect.select_corners(
         raw, nms, config.agast_threshold,
         cell_size=config.detection_cell_size,
         max_per_cell=config.max_keypoints_per_cell,
         corners_low_threshold=config.corners_low_threshold,
+        gather_mode=mode,
     )
-    if config.use_dense_brief:
-        desc, valid = brief.descriptors_from_planes(aux, det.kp, det.valid)
-    else:
+    if not config.use_dense_brief:
         desc, valid = brief.descriptors_sparse(aux, det.kp, det.valid)
+    elif mode == "slice":
+        desc, valid = brief.descriptors_from_planes_slice8(
+            aux, det.kp, det.valid)
+    else:
+        desc, valid = brief.descriptors_from_planes(aux, det.kp, det.valid)
     cap = config.kp_capacity
     return FrameFeatures(
         kp=_pad_to(det.kp, cap),

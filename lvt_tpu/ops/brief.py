@@ -142,13 +142,12 @@ def descriptors_sparse(
     """Per-keypoint BRIEF from the smoothed image with ONE flat gather.
 
     Bit-identical to gathering ``dense_descriptor_planes`` at the keypoints
-    (same float comparisons on the same smoothed values), but does K*64
-    sample reads instead of computing 256 comparisons for every pixel —
-    the production path since round 4 (the dense planes burned ~2/3 of the
-    perception budget describing 466k pixels when <=1k are keypoints).
-    The historical slow sparse attempts (512 scalar gathers per keypoint,
-    per-keypoint dynamic-slice patches — see dense_descriptor_planes) died
-    on op count, not gather volume; a single [K, 64]-index take is one op."""
+    (same float comparisons on the same smoothed values): K*64 sample reads
+    instead of 256 comparisons for every pixel. Opt-in
+    (config.use_dense_brief=False): measured on v5e, the scattered [K, 64]
+    take lowers to ~10 ns/element and DROPPED the bench 538 -> 283 fps, so
+    the dense-planes kernel stays the TPU default (see BASELINE.md
+    gather-tax breakdown; scripts/bench_gather.py compares lowerings)."""
     h, w = smooth.shape
     x = jnp.round(kp[:, 0]).astype(jnp.int32)
     y = jnp.round(kp[:, 1]).astype(jnp.int32)
@@ -190,6 +189,32 @@ def descriptors_from_planes(
     xc = jnp.clip(x, 0, w - 1)
     yc = jnp.clip(y, 0, h - 1)
     desc = planes[:, yc, xc].T  # [K, 8] — one small gather
+    return jnp.where(valid[:, None], desc, jnp.uint32(0)), valid
+
+
+def descriptors_from_planes_slice8(
+    planes: jnp.ndarray,    # [8, H, W] uint32 packed bit-planes
+    kp: jnp.ndarray,        # [K, 2] float32 (x, y)
+    kp_valid: jnp.ndarray,  # [K] bool
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """descriptors_from_planes with a slice-shaped gather: the planes are
+    interleaved to [H, W*8] so each keypoint's 8 words are CONTIGUOUS and
+    one vmapped dynamic_slice per keypoint replaces the scattered
+    8-element gather. Bit-identical output; on TPU contiguous-slice
+    gathers lower far better (scripts/bench_gather.py)."""
+    _, h, w = planes.shape
+    x = jnp.round(kp[:, 0]).astype(jnp.int32)
+    y = jnp.round(kp[:, 1]).astype(jnp.int32)
+    inside = (
+        (x >= BORDER) & (x < w - BORDER) & (y >= BORDER) & (y < h - BORDER)
+    )
+    valid = kp_valid & inside
+    xc = jnp.clip(x, 0, w - 1)
+    yc = jnp.clip(y, 0, h - 1)
+    pi = planes.transpose(1, 2, 0).reshape(h, w * 8)
+    desc = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(pi, (yy, 8 * xx), (1, 8))[0]
+    )(yc, xc)                                            # [K, 8]
     return jnp.where(valid[:, None], desc, jnp.uint32(0)), valid
 
 

@@ -155,6 +155,32 @@ def _subpixel_refine(score_raw: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return x.astype(jnp.float32) + dx, y.astype(jnp.float32) + dy
 
 
+def _subpixel_refine_slice(score_raw: jnp.ndarray, x: jnp.ndarray,
+                           y: jnp.ndarray):
+    """_subpixel_refine via ONE vmapped (3, 3) dynamic_slice per corner
+    instead of 5 scattered K-element gathers. Identical results; on TPU a
+    contiguous-slice gather lowers far better than scattered element
+    gathers (see BASELINE.md gather-tax breakdown and
+    scripts/bench_gather.py)."""
+    h, w = score_raw.shape
+    xc = jnp.clip(x, 1, w - 2)
+    yc = jnp.clip(y, 1, h - 2)
+    patch = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(score_raw, (yy - 1, xx - 1),
+                                             (3, 3))
+    )(yc, xc)                                   # [K, 3, 3]
+    sc = patch[:, 1, 1]
+
+    def offset(sm, s0, sp):
+        denom = sm - 2.0 * s0 + sp
+        off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+
+    dx = offset(patch[:, 1, 0], sc, patch[:, 1, 2])
+    dy = offset(patch[:, 0, 1], sc, patch[:, 2, 1])
+    return x.astype(jnp.float32) + dx, y.astype(jnp.float32) + dy
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cell_size", "max_per_cell", "corners_low_threshold",
@@ -188,6 +214,7 @@ def select_corners(
     max_per_cell: int,
     corners_low_threshold: int = 200,
     subpixel: bool = True,
+    gather_mode: str = "scatter",   # "scatter" | "slice" (TPU-fast, same result)
 ) -> Detections:
     """Adaptive threshold + per-cell top-k selection from precomputed score
     maps (shared by the XLA path and the fused Pallas perception kernel).
@@ -231,8 +258,10 @@ def select_corners(
     x = (cx * s_x + flat_idx % s_x).reshape(-1)
 
     if subpixel:
-        xf, yf = _subpixel_refine(score_raw, jnp.minimum(x, w - 1),
-                                  jnp.minimum(y, h - 1))
+        refine = (_subpixel_refine_slice if gather_mode == "slice"
+                  else _subpixel_refine)
+        xf, yf = refine(score_raw, jnp.minimum(x, w - 1),
+                        jnp.minimum(y, h - 1))
     else:
         xf, yf = x.astype(jnp.float32), y.astype(jnp.float32)
     kp = jnp.stack([xf, yf], axis=-1)

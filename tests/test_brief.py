@@ -141,3 +141,19 @@ def test_sparse_matches_dense_planes(rng):
     d_sparse, v_sparse = brief.descriptors_sparse(smooth, kp, valid_in)
     np.testing.assert_array_equal(np.asarray(v_sparse), np.asarray(v_dense))
     np.testing.assert_array_equal(np.asarray(d_sparse), np.asarray(d_dense))
+
+
+def test_slice8_gather_matches_scatter(rng):
+    """descriptors_from_planes_slice8 (contiguous dynamic-slice gather from
+    interleaved planes) is bit-identical to descriptors_from_planes."""
+    img = jnp.asarray(rng.randint(0, 255, (96, 128)).astype(np.float32))
+    planes = brief.dense_descriptor_planes(brief.box_smooth(img))
+    k = 64
+    kp = jnp.asarray(
+        np.stack([rng.uniform(0, 128, k), rng.uniform(0, 96, k)], -1)
+    ).astype(jnp.float32)
+    valid_in = jnp.asarray(rng.rand(k) > 0.2)
+    d_a, v_a = brief.descriptors_from_planes(planes, kp, valid_in)
+    d_b, v_b = brief.descriptors_from_planes_slice8(planes, kp, valid_in)
+    np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_a))
+    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_a))

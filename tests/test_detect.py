@@ -140,3 +140,39 @@ class TestDetectCorners:
         kp = np.asarray(det.kp)[np.asarray(det.valid)]
         assert (kp[:, 0] >= 3).all() and (kp[:, 0] < 320 - 3).all()
         assert (kp[:, 1] >= 3).all() and (kp[:, 1] < 240 - 3).all()
+
+
+def test_subpixel_slice_matches_scatter(rng):
+    """_subpixel_refine_slice (one (3,3) dynamic_slice per corner) equals
+    the scattered-gather _subpixel_refine bit for bit."""
+    import jax.numpy as jnp
+
+    from lvt_tpu.ops.detect import (
+        _subpixel_refine, _subpixel_refine_slice, fast_score_map,
+    )
+
+    img = jnp.asarray(rng.randint(0, 255, (120, 160)).astype(np.float32))
+    raw = fast_score_map(img)
+    k = 200
+    x = jnp.asarray(rng.randint(0, 160, k).astype(np.int32))
+    y = jnp.asarray(rng.randint(0, 120, k).astype(np.int32))
+    xa, ya = _subpixel_refine(raw, x, y)
+    xb, yb = _subpixel_refine_slice(raw, x, y)
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(xa))
+    np.testing.assert_array_equal(np.asarray(yb), np.asarray(ya))
+
+
+def test_select_corners_gather_modes_agree(rng):
+    import jax.numpy as jnp
+
+    from lvt_tpu.ops import detect
+
+    img = jnp.asarray(rng.randint(0, 255, (120, 160)).astype(np.float32))
+    raw = detect.fast_score_map(img)
+    nms = detect.nms3x3(raw)
+    a = detect.select_corners(raw, nms, 15, cell_size=64, max_per_cell=32,
+                              gather_mode="scatter")
+    b = detect.select_corners(raw, nms, 15, cell_size=64, max_per_cell=32,
+                              gather_mode="slice")
+    np.testing.assert_array_equal(np.asarray(a.kp), np.asarray(b.kp))
+    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
