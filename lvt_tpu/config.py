@@ -120,9 +120,13 @@ class VOConfig:
     # full step DROPPED 538 -> 283 fps, so dense stays the production
     # default until the gather gets a dedicated kernel.
     use_dense_brief: bool = True
-    # per-keypoint lookup lowering: "scatter" = plain XLA advanced-indexing
-    # gathers; "slice" = contiguous dynamic-slice formulations (interleaved
-    # descriptor words + 3x3 subpixel patches); None = auto (slice on TPU)
+    # per-keypoint lookup lowering (scripts/bench_gather.py, v5e):
+    #   "scatter" — XLA advanced-indexing gathers (132 us/frame-equivalent)
+    #   "flat"    — single flat jnp.take formulations (77 us; TPU default)
+    #   "slice"   — vmapped contiguous dynamic_slice (2500 us — 19x WORSE;
+    #               kept as measured evidence against the "contiguous
+    #               slices must be faster" intuition)
+    # None = auto: flat on TPU, scatter elsewhere
     gather_mode: str | None = None
 
     # ---- observability

@@ -47,7 +47,7 @@ def _gather_mode(config: VOConfig) -> str:
         return config.gather_mode
     from lvt_tpu.backend import is_tpu_backend
 
-    return "slice" if is_tpu_backend() else "scatter"
+    return "flat" if is_tpu_backend() else "scatter"
 
 
 def perception_batched(imgs: jnp.ndarray, config: VOConfig):
@@ -84,6 +84,9 @@ def _select_and_describe(raw, nms, aux, config: VOConfig) -> FrameFeatures:
     )
     if not config.use_dense_brief:
         desc, valid = brief.descriptors_sparse(aux, det.kp, det.valid)
+    elif mode == "flat":
+        desc, valid = brief.descriptors_from_planes_flat(
+            aux, det.kp, det.valid)
     elif mode == "slice":
         desc, valid = brief.descriptors_from_planes_slice8(
             aux, det.kp, det.valid)

@@ -155,6 +155,30 @@ def _subpixel_refine(score_raw: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return x.astype(jnp.float32) + dx, y.astype(jnp.float32) + dy
 
 
+def _subpixel_refine_flat(score_raw: jnp.ndarray, x: jnp.ndarray,
+                          y: jnp.ndarray):
+    """_subpixel_refine with the 5 neighborhood reads fused into ONE flat
+    jnp.take of [5K] indices — the fastest lowering measured on v5e
+    (scripts/bench_gather.py); identical results."""
+    h, w = score_raw.shape
+    xc = jnp.clip(x, 1, w - 2)
+    yc = jnp.clip(y, 1, h - 2)
+    base = yc * w + xc
+    idx = jnp.stack([base, base - 1, base + 1, base - w, base + w])  # [5, K]
+    s = jnp.take(score_raw.reshape(-1), idx.reshape(-1),
+                 axis=0).reshape(idx.shape)
+    sc = s[0]
+
+    def offset(sm, s0, sp):
+        denom = sm - 2.0 * s0 + sp
+        off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+
+    dx = offset(s[1], sc, s[2])
+    dy = offset(s[3], sc, s[4])
+    return x.astype(jnp.float32) + dx, y.astype(jnp.float32) + dy
+
+
 def _subpixel_refine_slice(score_raw: jnp.ndarray, x: jnp.ndarray,
                            y: jnp.ndarray):
     """_subpixel_refine via ONE vmapped (3, 3) dynamic_slice per corner
@@ -258,8 +282,9 @@ def select_corners(
     x = (cx * s_x + flat_idx % s_x).reshape(-1)
 
     if subpixel:
-        refine = (_subpixel_refine_slice if gather_mode == "slice"
-                  else _subpixel_refine)
+        refine = {"slice": _subpixel_refine_slice,
+                  "flat": _subpixel_refine_flat}.get(gather_mode,
+                                                     _subpixel_refine)
         xf, yf = refine(score_raw, jnp.minimum(x, w - 1),
                         jnp.minimum(y, h - 1))
     else:

@@ -154,6 +154,8 @@ def test_slice8_gather_matches_scatter(rng):
     ).astype(jnp.float32)
     valid_in = jnp.asarray(rng.rand(k) > 0.2)
     d_a, v_a = brief.descriptors_from_planes(planes, kp, valid_in)
-    d_b, v_b = brief.descriptors_from_planes_slice8(planes, kp, valid_in)
-    np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_a))
-    np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_a))
+    for fn in (brief.descriptors_from_planes_slice8,
+               brief.descriptors_from_planes_flat):
+        d_b, v_b = fn(planes, kp, valid_in)
+        np.testing.assert_array_equal(np.asarray(v_b), np.asarray(v_a))
+        np.testing.assert_array_equal(np.asarray(d_b), np.asarray(d_a))

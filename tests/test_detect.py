@@ -148,7 +148,8 @@ def test_subpixel_slice_matches_scatter(rng):
     import jax.numpy as jnp
 
     from lvt_tpu.ops.detect import (
-        _subpixel_refine, _subpixel_refine_slice, fast_score_map,
+        _subpixel_refine, _subpixel_refine_flat, _subpixel_refine_slice,
+        fast_score_map,
     )
 
     img = jnp.asarray(rng.randint(0, 255, (120, 160)).astype(np.float32))
@@ -157,9 +158,10 @@ def test_subpixel_slice_matches_scatter(rng):
     x = jnp.asarray(rng.randint(0, 160, k).astype(np.int32))
     y = jnp.asarray(rng.randint(0, 120, k).astype(np.int32))
     xa, ya = _subpixel_refine(raw, x, y)
-    xb, yb = _subpixel_refine_slice(raw, x, y)
-    np.testing.assert_array_equal(np.asarray(xb), np.asarray(xa))
-    np.testing.assert_array_equal(np.asarray(yb), np.asarray(ya))
+    for fn in (_subpixel_refine_slice, _subpixel_refine_flat):
+        xb, yb = fn(raw, x, y)
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(xa))
+        np.testing.assert_array_equal(np.asarray(yb), np.asarray(ya))
 
 
 def test_select_corners_gather_modes_agree(rng):
@@ -172,7 +174,9 @@ def test_select_corners_gather_modes_agree(rng):
     nms = detect.nms3x3(raw)
     a = detect.select_corners(raw, nms, 15, cell_size=64, max_per_cell=32,
                               gather_mode="scatter")
-    b = detect.select_corners(raw, nms, 15, cell_size=64, max_per_cell=32,
-                              gather_mode="slice")
-    np.testing.assert_array_equal(np.asarray(a.kp), np.asarray(b.kp))
-    np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+    for mode in ("slice", "flat"):
+        b = detect.select_corners(raw, nms, 15, cell_size=64,
+                                  max_per_cell=32, gather_mode=mode)
+        np.testing.assert_array_equal(np.asarray(a.kp), np.asarray(b.kp))
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
