@@ -121,12 +121,13 @@ class VOConfig:
     # default until the gather gets a dedicated kernel.
     use_dense_brief: bool = True
     # per-keypoint lookup lowering (scripts/bench_gather.py, v5e):
-    #   "scatter" — XLA advanced-indexing gathers (132 us/frame-equivalent)
-    #   "flat"    — single flat jnp.take formulations (77 us; TPU default)
-    #   "slice"   — vmapped contiguous dynamic_slice (2500 us — 19x WORSE;
-    #               kept as measured evidence against the "contiguous
-    #               slices must be faster" intuition)
-    # None = auto: flat on TPU, scatter elsewhere
+    #   "scatter" — XLA advanced-indexing gathers (132 us/frame-equiv in
+    #               the ISOLATED microbench; production default)
+    #   "flat"    — single flat jnp.take formulations: 77 us isolated, but
+    #               the FULL step measured 512 vs 536 fps — the microbench
+    #               win does not survive fusion context
+    #   "slice"   — vmapped contiguous dynamic_slice: 2500 us, 19x worse
+    # Both alternatives kept as measured evidence; None = auto (scatter)
     gather_mode: str | None = None
 
     # ---- observability

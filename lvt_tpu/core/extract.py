@@ -47,7 +47,7 @@ def _gather_mode(config: VOConfig) -> str:
         return config.gather_mode
     from lvt_tpu.backend import is_tpu_backend
 
-    return "flat" if is_tpu_backend() else "scatter"
+    return "scatter"  # flat/slice measured slower in the full program (see config)
 
 
 def perception_batched(imgs: jnp.ndarray, config: VOConfig):

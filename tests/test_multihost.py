@@ -37,3 +37,36 @@ def test_multihost_dryrun_end_to_end(tmp_path):
     for w in workers.values():
         assert w["stage_a_max_err_m"] < 1e-4
         assert w["stage_b_err_m"] < 1e-5
+
+
+def test_local_stream_indices_single_process():
+    """On a single-process mesh every stream is local, in mesh order."""
+    import jax
+    import numpy as np
+
+    from lvt_tpu.parallel import mesh as mesh_mod, multihost
+
+    mesh = mesh_mod.stream_mesh(jax.devices())
+    idx = multihost.local_stream_indices(mesh, 16)
+    np.testing.assert_array_equal(idx, np.arange(16))
+
+
+def test_local_concat_reassembles_sharded_axis():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lvt_tpu.parallel import mesh as mesh_mod, multihost
+
+    mesh = mesh_mod.stream_mesh(jax.devices())
+    n = 8 * 3
+    arr = jnp.arange(n * 2, dtype=jnp.float32).reshape(n, 2)
+    sharded = jax.device_put(arr, NamedSharding(mesh, P("stream")))
+    got = multihost._local_concat(sharded, np.arange(n), n)
+    np.testing.assert_array_equal(got, np.asarray(arr))
+    # leading-frame layout [N, S] (poses from track_chunk)
+    arr2 = jnp.arange(4 * n, dtype=jnp.float32).reshape(4, n)
+    sharded2 = jax.device_put(arr2, NamedSharding(mesh, P(None, "stream")))
+    got2 = multihost._local_concat(sharded2, np.arange(n), n)
+    np.testing.assert_array_equal(got2, np.asarray(arr2))
