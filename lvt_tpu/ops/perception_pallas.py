@@ -46,6 +46,7 @@ TILE_ROWS_B = 32  # kernel B keeps 64 pool slabs live -> smaller row tile
 COL_HALO = 64     # column halo (covers both kernels; 2*64 keeps the slab
 #                   width a multiple of 128 whenever the column tile is)
 MAX_COL_TILE = 512
+INT16_KERNELS = False  # see _run_kernel_a: Mosaic roll is 32-bit-only
 
 
 def _col_tile(w: int) -> int:
@@ -69,7 +70,8 @@ def _roll2(a, dy: int, dx: int):
 
 
 def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
-                         *, img_h: int, img_w: int, col_tile: int):
+                         *, img_h: int, img_w: int, col_tile: int,
+                         work_dtype=jnp.float32):
     b = pl.program_id(0)   # image in the batch (e.g. stereo left/right)
     i = pl.program_id(1)   # row tile
     j = pl.program_id(2)   # column tile
@@ -83,11 +85,16 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     copy.start()
     copy.wait()
     # uint8 frames are DMA'd as-is (4x less HBM image traffic than float32)
-    # and widened in VMEM (via int32: Mosaic has no direct u8->f32 cast)
+    # and widened in VMEM (via int32: Mosaic has no direct u8->f32 cast).
+    # work_dtype int16 (uint8 inputs only) keeps every intermediate EXACT —
+    # 9x9 box sums <= 81*255 = 20655 < 32767, FAST diffs in [-255, 255] —
+    # while halving the VPU data movement of the ~40 slab rolls that
+    # dominate this kernel (r4 xplane trace: kernel A 0.19 ms/frame-stream
+    # in f32).
     a = slab[:]
     if a.dtype == jnp.uint8:
         a = a.astype(jnp.int32)
-    a = a.astype(jnp.float32)
+    a = a.astype(work_dtype)
 
     def central(x):
         x = jax.lax.slice_in_dim(x, HALO_A, HALO_A + TILE_ROWS_A, axis=0)
@@ -100,7 +107,7 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     smooth = rsum
     for d in range(1, 5):
         smooth = smooth + _roll2(rsum, 0, d) + _roll2(rsum, 0, -d)
-    smooth_ref[0, :, :] = central(smooth)
+    smooth_ref[0, :, :] = central(smooth).astype(smooth_ref.dtype)
 
     # ---- FAST-9/16 max-threshold score via log-step doubling.
     # arc9_min[i] = min(d[i..i+8]) built as windows 2 -> 4 -> 8 -> 9;
@@ -126,7 +133,8 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     score_bright = list_reduce(arc9(diffs, jnp.minimum), jnp.maximum)
     # dark: max over arcs of (min of -d) == -(min over arcs of (max of d))
     score_dark = -list_reduce(arc9(diffs, jnp.maximum), jnp.minimum)
-    score = jnp.maximum(jnp.maximum(score_bright, score_dark), 0.0)
+    score = jnp.maximum(jnp.maximum(score_bright, score_dark),
+                        jnp.asarray(0, score_bright.dtype))
 
     # zero outside the ring-interior of the *original* image before NMS so
     # suppression decisions match the unfused path (fast_score_map masks the
@@ -139,12 +147,16 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
         (global_r >= 3) & (global_r < img_h - 3)
         & (global_c >= 3) & (global_c < img_w - 3)
     )
-    score = jnp.where(inside, score, 0.0)
+    score = jnp.where(inside, score, jnp.asarray(0, score.dtype))
 
     # ---- 3x3 non-max suppression, plateau-collapsing like detect.nms3x3:
     # strictly beat the lexicographically-earlier neighbors, tie toward the
     # later ones (collapses equal-score runs on repetitive structure)
-    before = score * 0.0 - jnp.float32(jnp.inf)
+    if score.dtype == jnp.float32:
+        neg_inf = jnp.float32(-jnp.inf)
+    else:
+        neg_inf = jnp.asarray(jnp.iinfo(score.dtype).min, score.dtype)
+    before = score * 0 + neg_inf
     after = before
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -155,14 +167,17 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
                 before = jnp.maximum(before, n)
             else:
                 after = jnp.maximum(after, n)
-    raw_ref[0, :, :] = central(score)
+    raw_ref[0, :, :] = central(score).astype(jnp.float32)
     score_ref[0, :, :] = central(
-        jnp.where((score > before) & (score >= after), score, 0.0)
-    )
+        jnp.where((score > before) & (score >= after), score,
+                  jnp.asarray(0, score.dtype))
+    ).astype(jnp.float32)
 
 
 def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
                   *, col_tile: int):
+    # slab dtype follows the smooth dtype (int16 for uint8 frames): the 64
+    # pool rolls are this kernel's cost, and int16 halves their movement
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -195,12 +210,24 @@ def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
 
 def _run_kernel_a(imgs: jnp.ndarray, interpret: bool):
     """Kernel A over a [B, H, W] batch -> (raw, score, smooth) padded to
-    tile multiples (crop with [:, :h, :w])."""
+    tile multiples (crop with [:, :h, :w]). uint8 inputs compute in int16
+    (exact — see _score_smooth_kernel) and emit int16 smooth; float inputs
+    keep the f32 path."""
     bsz, h, w = imgs.shape
     # uint8 input stays uint8 through the pad + DMA (kernel A widens in
     # VMEM); any other dtype normalizes to float32
     if imgs.dtype != jnp.uint8:
         imgs = imgs.astype(jnp.float32)
+    # int16 compute (exact for uint8 frames, halves the roll movement that
+    # dominates both kernels) is DISABLED on hardware: Mosaic's
+    # tpu.dynamic_rotate only supports 32-bit data ("Rotate with non-32-bit
+    # data", v5e, r4) — pltpu.roll is how every shifted sample is built
+    # here. The int16 path stays (exercised exactly in interpret mode by
+    # tests/test_pallas_perception.py); enabling it on TPU needs the rolls
+    # rewritten as static halo-slab slices (r5 item).
+    use_i16 = bool(INT16_KERNELS) and imgs.dtype == jnp.uint8
+    work_dtype = jnp.int16 if use_i16 else jnp.float32
+    smooth_dtype = jnp.int16 if use_i16 else jnp.float32
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
@@ -212,10 +239,18 @@ def _run_kernel_a(imgs: jnp.ndarray, interpret: bool):
         imgs,
         ((0, 0), (HALO_A, hp_a - h + HALO_A), (COL_HALO, wp - w + COL_HALO)),
     )
+
+    def _kernel_a(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem):
+        _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab,
+                             sem, img_h=h, img_w=w, col_tile=col_tile,
+                             work_dtype=work_dtype)
+
+    # distinct Mosaic kernel names per working dtype (see masked_dual_top2's
+    # note on name collisions through the remote-compile relay)
+    _kernel_a.__name__ = f"score_smooth_{'i16' if use_i16 else 'f32'}"
+
     raw, score, smooth = pl.pallas_call(
-        functools.partial(
-            _score_smooth_kernel, img_h=h, img_w=w, col_tile=col_tile
-        ),
+        _kernel_a,
         grid=(bsz, n_tiles_a, n_col),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
@@ -229,7 +264,7 @@ def _run_kernel_a(imgs: jnp.ndarray, interpret: bool):
         out_shape=(
             jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, hp_a, wp), smooth_dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM(
@@ -266,7 +301,7 @@ def score_smooth_batched(
     return (
         jnp.where(interior, raw, 0.0),
         jnp.where(interior, score, 0.0),
-        smooth[:, :h, :w],
+        smooth[:, :h, :w].astype(jnp.float32),
     )
 
 
@@ -296,8 +331,13 @@ def perception_maps_batched(
         smooth[:, :h, :],
         ((0, 0), (HALO_B, hp_b - h + HALO_B), (COL_HALO, COL_HALO)),
     )
+    def _kernel_b(smooth_hbm, planes_ref, slab, sem):
+        _brief_kernel(smooth_hbm, planes_ref, slab, sem, col_tile=col_tile)
+
+    _kernel_b.__name__ = f"brief_planes_{smooth_p.dtype.name}"
+
     planes = pl.pallas_call(
-        functools.partial(_brief_kernel, col_tile=col_tile),
+        _kernel_b,
         grid=(bsz, n_tiles_b, n_col),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -308,7 +348,7 @@ def perception_maps_batched(
         scratch_shapes=[
             pltpu.VMEM(
                 (TILE_ROWS_B + 2 * HALO_B, col_tile + 2 * COL_HALO),
-                jnp.float32,
+                smooth_p.dtype,
             ),
             pltpu.SemaphoreType.DMA(()),
         ],

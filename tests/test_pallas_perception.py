@@ -78,3 +78,25 @@ def test_full_extraction_equivalence(img):
     xor = np.asarray(desc) ^ d_ref
     ham = np.unpackbits(xor.view(np.uint8), axis=-1).sum(-1)
     assert (ham[np.asarray(valid)] <= 2).mean() > 0.99
+
+
+def test_uint8_int16_path_matches_f32_path(img, monkeypatch):
+    """The int16 kernel path (disabled on hardware: Mosaic's roll is
+    32-bit-only) is EXACT for uint8 frames — box sums <= 20655, diffs in
+    +-255 — verified in interpret mode against the f32 kernels bit for
+    bit, so it can be enabled the day the rolls become static slices."""
+    from lvt_tpu.ops import perception_pallas as pp
+
+    monkeypatch.setattr(pp, "INT16_KERNELS", True)
+    # the flag is read at trace time but is not part of the jit cache key —
+    # clear the cache so both traces happen under the right flag value
+    pp.perception_maps_batched.clear_cache()
+    u8 = np.clip(img, 0, 255).astype(np.uint8)
+    raw_i, nms_i, planes_i = perception_maps(jnp.array(u8), interpret=True)
+    raw_f, nms_f, planes_f = perception_maps(
+        jnp.array(u8.astype(np.float32)), interpret=True)
+    monkeypatch.setattr(pp, "INT16_KERNELS", False)
+    pp.perception_maps_batched.clear_cache()
+    np.testing.assert_array_equal(np.asarray(raw_i), np.asarray(raw_f))
+    np.testing.assert_array_equal(np.asarray(nms_i), np.asarray(nms_f))
+    np.testing.assert_array_equal(np.asarray(planes_i), np.asarray(planes_f))
