@@ -60,7 +60,15 @@ def _col_tile(w: int) -> int:
 def _roll2(a, dy: int, dx: int):
     """out[p] = a[p + (dy, dx)] as a static circular shift; wrap-around only
     corrupts pixels within the halo of the slab edge, which the central
-    output rows never read. (pltpu.roll requires non-negative shifts.)"""
+    output rows never read. (pltpu.roll requires non-negative shifts.)
+
+    Do NOT replace these rolls with static lane-offset slices of the halo
+    slab: tried in r4 (it would shrink comparisons to the central extent
+    and open the int16 path, since Mosaic's rotate is 32-bit-only) — the
+    slice formulation is bit-exact in interpret mode but MISCOMPILES on
+    real v5e (tpu_smoke diverged 0.66 m; silent wrong values from
+    unaligned lane-offset slices). Any future rewrite must re-validate
+    against scripts/tpu_smoke.py, not just the interpret-mode tests."""
     out = a
     if dy:
         out = pltpu.roll(out, (-dy) % out.shape[0], 0)
