@@ -45,8 +45,6 @@ def _use_pallas(config: VOConfig) -> bool:
 def _gather_mode(config: VOConfig) -> str:
     if config.gather_mode is not None:
         return config.gather_mode
-    from lvt_tpu.backend import is_tpu_backend
-
     return "scatter"  # flat/slice measured slower in the full program (see config)
 
 

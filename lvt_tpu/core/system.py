@@ -232,7 +232,10 @@ class VOSystem:
         b = jnp.asarray(
             imgs2, jnp.float32 if self.sensor_type == SensorType.RGBD else None
         )
-        assert a.ndim == 3 and b.shape == a.shape if self.sensor_type == SensorType.STEREO else True
+        assert a.ndim == 3, f"expected [N, H, W] image chunk, got {a.shape}"
+        assert b.shape == a.shape, (
+            f"second-input chunk {b.shape} != image chunk {a.shape}"
+        )
         if self.sensor_type == SensorType.STEREO:
             if self.rectify_maps is not None:
                 self.state, poses, metrics = (

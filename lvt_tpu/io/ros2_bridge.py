@@ -37,6 +37,15 @@ from lvt_tpu.io.streaming import Odometry, StreamingVO
 ROS_PARAMS = {
     "queue_size": (None, 10),
     "approximate_sync": (None, False),
+    # max stamp difference (s) for approximate_sync pairing; the reference's
+    # ApproximateTime policy has no explicit slop knob, so this is additive
+    "sync_slop": (None, 0.01),
+    # NOTE: declared for parity with lvt_ros.cpp:150 but the base<->sensor
+    # extrinsic is NOT looked up from TF here — StreamingVO always runs with
+    # an identity base_from_sensor (deliberate divergence: the reference's
+    # init_transforms TF wait, lvt_ros.cpp:204-219, needs a live tf2 buffer;
+    # consumers that need the extrinsic can post-multiply the published
+    # odometry).
     "sensor_frame_id": (None, "camera"),
     "odom_frame_id": (None, "odom"),
     "base_link_frame_id": (None, "base_link"),
@@ -56,6 +65,10 @@ ROS_PARAMS = {
     "enable_visualization": (None, True),
     "triangulation_policy": ("triangulation_policy", 3),
     "reset_pose_on_lost_vo": (None, True),
+    # the reference's literal parameter spelling (lvt_ros.cpp:161 declares
+    # "m_reset_pose_on_lost_vo"); accepted as an alias so existing launch
+    # files map unchanged. When set it wins over the unprefixed name.
+    "m_reset_pose_on_lost_vo": (None, None),
 }
 
 
@@ -144,16 +157,20 @@ class Ros2Bridge:
             for name, (field, _) in ROS_PARAMS.items() if field is not None
         }
         self._vo_overrides = vo_overrides
+        reset_on_lost = self.params["m_reset_pose_on_lost_vo"]
+        if reset_on_lost is None:
+            reset_on_lost = self.params["reset_pose_on_lost_vo"]
         self.streaming = streaming_cls(
             sensor_type=sensor_type,
-            reset_pose_on_lost=bool(self.params["reset_pose_on_lost_vo"]),
+            reset_pose_on_lost=bool(reset_on_lost),
             queue_size=int(self.params["queue_size"]),
         )
         self.streaming.on_odometry(self._publish_odometry)
         if async_worker:
             self.streaming.start()
 
-        slop = 0.01 if self.params["approximate_sync"] else 0.0
+        slop = (float(self.params["sync_slop"])
+                if self.params["approximate_sync"] else 0.0)
         q = int(self.params["queue_size"])
         self._img_sync = StereoSync(q, slop)
         self._info_sync = StereoSync(q, slop)
@@ -211,8 +228,12 @@ class Ros2Bridge:
         cls = self._msg_types.get("Odometry")
         msg = cls()
         sec = int(math.floor(odo.stamp))
+        nanosec = int(round((odo.stamp - sec) * 1e9))
+        if nanosec >= 1_000_000_000:  # fractional part rounded up to 1.0 s
+            sec += 1
+            nanosec -= 1_000_000_000
         msg.header.stamp.sec = sec
-        msg.header.stamp.nanosec = int(round((odo.stamp - sec) * 1e9))
+        msg.header.stamp.nanosec = nanosec
         msg.header.frame_id = self.params["odom_frame_id"]
         msg.child_frame_id = self.params["base_link_frame_id"]
         pp = msg.pose.pose

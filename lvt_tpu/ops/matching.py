@@ -30,16 +30,6 @@ from lvt_tpu.ops import hamming
 from lvt_tpu.ops.collectives import por_if, psum_if
 
 
-def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table [N, C] row lookup by [K] int indices via ONE flat jnp.take —
-    measured 1.7x faster than table[idx] advanced indexing on v5e
-    (scripts/bench_gather.py); bit-identical."""
-    n, c = table.shape
-    flat = idx[:, None] * c + jnp.arange(c, dtype=idx.dtype)[None, :]
-    return jnp.take(table.reshape(-1), flat.reshape(-1),
-                    axis=0).reshape(idx.shape[0], c)
-
-
 class MapMatchResult(NamedTuple):
     # per-map-point (all [M]):
     match_idx: jnp.ndarray    # feature index, -1 = visible but unmatched,
