@@ -120,6 +120,26 @@ class VOConfig:
     # full step DROPPED 538 -> 283 fps, so dense stays the production
     # default until the gather gets a dedicated kernel.
     use_dense_brief: bool = True
+    # descriptor/subpixel formation strategy (None = auto):
+    #   "patch"  — Pallas patch-extraction kernel (ops/patches_pallas):
+    #              whole smooth/raw maps VMEM-resident, one contiguous
+    #              32x32 patch per keypoint, descriptors via exact one-hot
+    #              MXU matmuls. Kills the dense bit-plane kernel B, its
+    #              crop, and every scattered per-keypoint gather (the r4
+    #              "gather tax", ~0.5 ms/frame-stream). TPU default (r5).
+    #   "dense"  — dense BRIEF bit-planes + per-keypoint gather (the r3/r4
+    #              production path; CPU default)
+    #   "sparse" — per-keypoint flat-take of the 64 pool samples (kept as
+    #              measured evidence: 538 -> 283 fps on v5e)
+    # auto resolves: explicit use_dense_brief=False -> "sparse";
+    # TPU + Pallas perception -> "patch"; else "dense". All modes produce
+    # bit-identical descriptors at valid keypoints.
+    descriptor_mode: str | None = None
+    # int16 perception-kernel compute for uint8 frames (exact; see
+    # ops/perception_pallas._run_kernel_a). None = kernel-module default
+    # (INT16_DEFAULT, flipped on once hardware-validated); participates in
+    # the jit cache key as a static argument.
+    int16_perception: bool | None = None
     # per-keypoint lookup lowering (scripts/bench_gather.py, v5e):
     #   "scatter" — XLA advanced-indexing gathers (132 us/frame-equiv in
     #               the ISOLATED microbench; production default)

@@ -48,48 +48,73 @@ def _gather_mode(config: VOConfig) -> str:
     return "scatter"  # flat/slice measured slower in the full program (see config)
 
 
-def perception_batched(imgs: jnp.ndarray, config: VOConfig):
+def _descriptor_mode(config: VOConfig) -> str:
+    """Resolve config.descriptor_mode (see config.py for the matrix)."""
+    if config.descriptor_mode is not None:
+        return config.descriptor_mode
+    if not config.use_dense_brief:
+        return "sparse"
+    if _use_pallas(config):
+        from lvt_tpu.backend import is_tpu_backend
+
+        if is_tpu_backend():
+            return "patch"
+    return "dense"
+
+
+def perception_batched(imgs: jnp.ndarray, config: VOConfig,
+                       mode: str | None = None):
     """[B, H, W] -> (raw_score, nms_score [B, H, W], aux) where aux is the
-    smoothed image [B, H, W] (sparse-BRIEF default) or the packed dense
-    bit-planes [B, 8, H, W] (config.use_dense_brief)."""
+    packed dense bit-planes [B, 8, H, W] ("dense" mode) or the smoothed
+    image [B, H, W] ("sparse")."""
+    mode = mode or _descriptor_mode(config)
     if _use_pallas(config):
         from lvt_tpu.ops import perception_pallas as pp
 
-        if config.use_dense_brief:
-            return pp.perception_maps_batched(imgs)
-        return pp.score_smooth_batched(imgs)
+        if mode == "dense":
+            return pp.perception_maps_batched(
+                imgs, int16=config.int16_perception)
+        return pp.score_smooth_batched(imgs, int16=config.int16_perception)
 
     def one(img):
         img = img.astype(jnp.float32)
         raw = detect.fast_score_map(img)
         smooth = brief.box_smooth(img)
         aux = (brief.dense_descriptor_planes(smooth)
-               if config.use_dense_brief else smooth)
+               if mode == "dense" else smooth)
         return raw, detect.nms3x3(raw), aux
 
     return jax.vmap(one)(imgs)
 
 
-def _select_and_describe(raw, nms, aux, config: VOConfig) -> FrameFeatures:
-    """Per-image selection + descriptor gather (vmappable)."""
-    mode = _gather_mode(config)
+def _select_and_describe(raw, nms, aux, config: VOConfig,
+                         mode: str) -> FrameFeatures:
+    """Per-image selection + descriptor gather (vmappable).
+
+    Descriptors sample at the detected integer corner (``det.kp_int``) —
+    the reference's behavior (OpenCV BRIEF at the integer AGAST keypoint,
+    lvt_image_features_handler.cpp:171-175); the subpixel-refined position
+    is the geometric observation only. This keeps every descriptor mode
+    (dense / sparse / patch) bit-identical at valid keypoints."""
+    gmode = _gather_mode(config)
     det = detect.select_corners(
         raw, nms, config.agast_threshold,
         cell_size=config.detection_cell_size,
         max_per_cell=config.max_keypoints_per_cell,
         corners_low_threshold=config.corners_low_threshold,
-        gather_mode=mode,
+        gather_mode=gmode,
     )
-    if not config.use_dense_brief:
-        desc, valid = brief.descriptors_sparse(aux, det.kp, det.valid)
-    elif mode == "flat":
+    kp_det = det.kp_int.astype(jnp.float32)
+    if mode == "sparse":
+        desc, valid = brief.descriptors_sparse(aux, kp_det, det.valid)
+    elif gmode == "flat":
         desc, valid = brief.descriptors_from_planes_flat(
-            aux, det.kp, det.valid)
-    elif mode == "slice":
+            aux, kp_det, det.valid)
+    elif gmode == "slice":
         desc, valid = brief.descriptors_from_planes_slice8(
-            aux, det.kp, det.valid)
+            aux, kp_det, det.valid)
     else:
-        desc, valid = brief.descriptors_from_planes(aux, det.kp, det.valid)
+        desc, valid = brief.descriptors_from_planes(aux, kp_det, det.valid)
     cap = config.kp_capacity
     return FrameFeatures(
         kp=_pad_to(det.kp, cap),
@@ -100,14 +125,80 @@ def _select_and_describe(raw, nms, aux, config: VOConfig) -> FrameFeatures:
     )
 
 
+def _extract_patch_mode(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
+    """The r5 TPU production path: select on the NMS map, then ONE Pallas
+    patch-extraction kernel feeds both descriptor formation (exact one-hot
+    MXU matmuls) and subpixel refinement (static slices). The dense
+    bit-plane kernel, its crop, and every scattered per-keypoint gather
+    disappear (BASELINE.md "gather tax")."""
+    from lvt_tpu.ops import patches_pallas as pt
+
+    bsz, h, w = imgs.shape
+    use_pallas = _use_pallas(config)
+    with jax.named_scope("perception"):
+        if use_pallas:
+            from lvt_tpu.ops import perception_pallas as pp
+
+            nms, raw_pad, smooth_pad = pp.perception_patch_maps_batched(
+                imgs, int16=config.int16_perception)
+        else:
+            def one(img):
+                img = img.astype(jnp.float32)
+                raw = detect.fast_score_map(img)
+                return detect.nms3x3(raw), raw, brief.box_smooth(img)
+
+            nms, raw_pad, smooth_pad = jax.vmap(one)(imgs)
+    with jax.named_scope("corner_select"):
+        det = jax.vmap(lambda n: detect.select_corners(
+            n, n, config.agast_threshold,
+            cell_size=config.detection_cell_size,
+            max_per_cell=config.max_keypoints_per_cell,
+            corners_low_threshold=config.corners_low_threshold,
+            subpixel=False,
+        ))(nms)
+    xi = det.kp_int[..., 0]
+    yi = det.kp_int[..., 1]
+    hp, wp = smooth_pad.shape[1:]
+    xc, yc = pt.clamp_coords(xi, yi, hp, wp)
+    with jax.named_scope("patch_extract"):
+        if use_pallas:
+            from lvt_tpu.backend import is_tpu_backend
+
+            patches, rawp = pt.extract_patches_batched(
+                smooth_pad, raw_pad, xc, yc, det.valid,
+                interpret=not is_tpu_backend())
+        else:
+            patches, rawp = pt.extract_patches_xla(
+                smooth_pad, raw_pad, xc, yc, det.valid)
+    with jax.named_scope("describe_refine"):
+        desc, valid = jax.vmap(
+            lambda p, xx, yy, v: brief.descriptors_from_patches(
+                p, xx, yy, v, h, w)
+        )(patches, xi, yi, det.valid)
+        xf, yf = detect.subpixel_from_patches(rawp, xi, yi)
+        kp = jnp.stack([xf, yf], axis=-1)
+    cap = config.kp_capacity
+
+    def pad(a):
+        return _pad_to(a, cap, axis=1)
+
+    return FrameFeatures(
+        kp=pad(kp), desc=pad(desc), score=pad(det.score),
+        depth=jnp.zeros((bsz, cap), jnp.float32), valid=pad(valid),
+    )
+
+
 def extract_features_batched(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
     """[B, H, W] images -> batched FrameFeatures [B, kp_capacity]."""
+    mode = _descriptor_mode(config)
+    if mode == "patch":
+        return _extract_patch_mode(imgs, config)
     with jax.named_scope("perception"):
-        raw, nms, planes = perception_batched(imgs, config)
+        raw, nms, planes = perception_batched(imgs, config, mode)
     with jax.named_scope("corner_select_describe"):
-        return jax.vmap(lambda r, n, p: _select_and_describe(r, n, p, config))(
-            raw, nms, planes
-        )
+        return jax.vmap(
+            lambda r, n, p: _select_and_describe(r, n, p, config, mode)
+        )(raw, nms, planes)
 
 
 def extract_features(img: jnp.ndarray, config: VOConfig) -> FrameFeatures:

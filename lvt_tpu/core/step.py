@@ -251,7 +251,8 @@ def _local_ba_update(
     is near-unobservable and the Schur update can send points far along
     their rays — the baseline pins depth. A relative step clamp guards the
     writeback regardless."""
-    from lvt_tpu.solver.bundle import refine_window
+    from lvt_tpu.solver.bundle import (chi2_gate_weights, refine_window,
+                                       weighted_point_e2)
 
     f_win = config.local_ba_window
     alive = (map_store.valid & ~slots_invalidated)[None, :].astype(jnp.float32)
@@ -267,6 +268,16 @@ def _local_ba_update(
 
     def run(args):
         poses_t, poses_q, obs, w, obs_r, w_r, pos = args
+        # per-observation chi2 gate BEFORE refinement (solver.bundle.
+        # chi2_gate_weights): mismatched associations — the r4 failure mode
+        # that made BA hurt on dense texture — are cut at the window's own
+        # residual scale, so the counts below see only trusted observations
+        w, w_r = chi2_gate_weights(
+            Pose(poses_t, poses_q), pos, obs, w,
+            baseline=config.baseline, obs_right=obs_r, w_right=w_r,
+            fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+            psum_axis=axis_name,
+        )
         # constrain only points with >= 2 left observations AND at least one
         # stereo pair (depth anchored)
         n_l = jnp.sum(w > 0, axis=0)
@@ -284,12 +295,26 @@ def _local_ba_update(
             # fully determines the gauge (fixing more anchors pose error)
             n_fixed_poses=1,
         )
-        # writeback with a relative trust region: a refined point may not
-        # move more than 10% of its distance to the camera (+0.5m)
+        # writeback guards: (1) relative trust region — a refined point may
+        # not move more than 10% of its distance to the camera (+0.5m);
+        # (2) improvement test — the trajectory stays the PnP output, so a
+        # refined point is kept only if it fits the (gated) observations
+        # better under the ORIGINAL window poses than the old point did
         dist = jnp.linalg.norm(pos - poses_t[-1][None, :], axis=-1)
         step_norm = jnp.linalg.norm(res.points - pos, axis=-1)
         ok = use > 0
         ok &= step_norm <= 0.1 * dist + 0.5
+        e2_args = dict(
+            fx=config.fx, fy=config.fy, cx=config.cx, cy=config.cy,
+            baseline=config.baseline, obs_right=obs_r,
+            w_right=w_r * use[None, :],
+        )
+        e2_old = weighted_point_e2(
+            Pose(poses_t, poses_q), pos, obs, w * use[None, :], **e2_args)
+        e2_new = weighted_point_e2(
+            Pose(poses_t, poses_q), res.points, obs, w * use[None, :],
+            **e2_args)
+        ok &= e2_new <= e2_old
         return jnp.where(ok[:, None], res.points, pos)
 
     def skip(args):

@@ -172,6 +172,65 @@ def descriptors_sparse(
     return jnp.where(valid[:, None], desc, jnp.uint32(0)), valid
 
 
+@functools.lru_cache(maxsize=1)
+def _pool_onehot() -> np.ndarray:
+    """[PATCH*PATCH, POOL_SIZE] f32 one-hot sampling matrix: column s
+    selects patch pixel (PATCH_R0 + dy_s, PATCH_C0 + dx_s)."""
+    from lvt_tpu.ops.patches_pallas import PATCH, PATCH_C0, PATCH_R0
+
+    m = np.zeros((PATCH * PATCH, POOL_SIZE), np.float32)
+    for s, (dx, dy) in enumerate(sample_pool()):
+        m[(PATCH_R0 + int(dy)) * PATCH + (PATCH_C0 + int(dx)), s] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=1)
+def _pair_onehots() -> tuple[np.ndarray, np.ndarray]:
+    """Two [POOL_SIZE, N_BITS] f32 one-hots: g0 (g1) replicates the first
+    (second) endpoint of each comparison pair across the 256 bit columns."""
+    pairs = pair_indices()
+    g0 = np.zeros((POOL_SIZE, N_BITS), np.float32)
+    g1 = np.zeros((POOL_SIZE, N_BITS), np.float32)
+    g0[pairs[:, 0], np.arange(N_BITS)] = 1.0
+    g1[pairs[:, 1], np.arange(N_BITS)] = 1.0
+    return g0, g1
+
+
+def descriptors_from_patches(
+    patches: jnp.ndarray,   # [K, PATCH, PATCH] f32 smooth patches
+    x: jnp.ndarray,         # [K] int32 original (unclamped) keypoint column
+    y: jnp.ndarray,         # [K] int32 ... row
+    kp_valid: jnp.ndarray,  # [K] bool
+    img_h: int,
+    img_w: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """BRIEF-256 from per-keypoint smooth patches (ops/patches_pallas) as
+    dense linear algebra: pool sampling and pair-endpoint replication are
+    static one-hot matmuls — MXU work instead of scattered gathers.
+
+    Evaluated at ``Precision.HIGHEST`` the one-hot contractions are
+    *bit-exact* f32 (each output accumulates exactly one value's bf16
+    expansion; the partial sums have disjoint mantissa ranges), so the
+    comparisons — and therefore the descriptors — are bit-identical to
+    ``descriptors_sparse`` / dense-planes-at-keypoints."""
+    k = patches.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    vals = jnp.dot(patches.reshape(k, -1), _pool_onehot(),
+                   precision=hi)                               # [K, 64]
+    g0, g1 = _pair_onehots()
+    bits = jnp.dot(vals, g0, precision=hi) < jnp.dot(vals, g1, precision=hi)
+    packed = bits.reshape(-1, 8, 32).astype(jnp.uint32) << jnp.arange(
+        32, dtype=jnp.uint32
+    )
+    desc = packed.sum(axis=-1, dtype=jnp.uint32)               # [K, 8]
+    inside = (
+        (x >= BORDER) & (x < img_w - BORDER)
+        & (y >= BORDER) & (y < img_h - BORDER)
+    )
+    valid = kp_valid & inside
+    return jnp.where(valid[:, None], desc, jnp.uint32(0)), valid
+
+
 def descriptors_from_planes(
     planes: jnp.ndarray,    # [8, H, W] uint32 packed bit-planes
     kp: jnp.ndarray,        # [K, 2] float32 (x, y)

@@ -118,11 +118,49 @@ def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
 
 
 class Detections(NamedTuple):
-    kp: jnp.ndarray      # [K, 2] float32 (x, y)
+    kp: jnp.ndarray      # [K, 2] float32 (x, y), subpixel-refined
     score: jnp.ndarray   # [K] float32
     valid: jnp.ndarray   # [K] bool
     count: jnp.ndarray   # [] int32
     threshold_used: jnp.ndarray  # [] float32 (after the low-corner fallback)
+    kp_int: jnp.ndarray  # [K, 2] int32 detected (pre-refinement) corner;
+    #                      descriptor sampling anchors here, matching the
+    #                      reference's integer AGAST corners (OpenCV BRIEF
+    #                      samples at the rounded detected keypoint —
+    #                      lvt_image_features_handler.cpp:171-175)
+
+
+def _bitrev8(v: jnp.ndarray) -> jnp.ndarray:
+    """Bit-reversal of the low 8 bits (vectorized, branch-free)."""
+    v = v & 0xFF
+    v = ((v & 0x55) << 1) | ((v >> 1) & 0x55)
+    v = ((v & 0x33) << 2) | ((v >> 2) & 0x33)
+    return ((v & 0x0F) << 4) | ((v >> 4) & 0x0F)
+
+
+def _plateau_dither(h: int, w: int) -> jnp.ndarray:
+    """[h, w] f32 position-derived tie-break in [0, 1) for plateau
+    spreading: van der Corput bit-reversal per axis (y-primary), quantized
+    to multiples of 2^-15 so ``score + dither`` is EXACT in f32 for
+    integer scores < 512 (uint8 frames: FAST scores <= 255) and the
+    original score is recovered bit-exactly by subtraction.
+
+    Why: the plateau-collapsing NMS keeps one pixel per equal-score run,
+    but on periodic structure (tex_stripes) whole columns of equal-score
+    survivors remain and the per-cell top-k picks an arbitrary, clustered,
+    frame-unstable subset — the r4 parity gap (RPE 1.23x oracle). Ranking
+    ties by bit-reversed coordinates makes the subset deterministic and
+    stratified across the cell — fixed-shape spiritual kin of the
+    reference's greedy ANMS radius (lvt_image_features_handler.cpp:34-83)."""
+    return _dither_at(jnp.arange(h, dtype=jnp.int32)[:, None],
+                      jnp.arange(w, dtype=jnp.int32)[None, :])
+
+
+def _dither_at(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """The _plateau_dither value at integer position(s) (y, x) — used to
+    recover exact scores after selection without any gather."""
+    key = _bitrev8(y) * 128 + (_bitrev8(x) >> 1)          # < 2^15
+    return key.astype(jnp.float32) * jnp.float32(2.0 ** -15)
 
 
 def _cell_geometry(h: int, w: int, cell_size: int) -> tuple[int, int, int, int]:
@@ -133,6 +171,25 @@ def _cell_geometry(h: int, w: int, cell_size: int) -> tuple[int, int, int, int]:
     ncx = -(-w // s_x)
     ncy = -(-h // s_y)
     return s_y, s_x, ncy, ncx
+
+
+def _parab_offset(sm, s0, sp):
+    """Parabolic 3-point peak offset in [-0.5, 0.5] (shared by every
+    subpixel-refinement lowering so results stay bit-identical)."""
+    denom = sm - 2.0 * s0 + sp
+    off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+
+
+def subpixel_from_patches(rawp: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Subpixel refinement from per-keypoint raw-score patches
+    (ops/patches_pallas: [..., K, 8, 8] with the corner at (3, 4)) —
+    static slices instead of 5 scattered gathers; identical arithmetic to
+    ``_subpixel_refine`` for every in-bounds corner."""
+    sc = rawp[..., 3, 4]
+    dx = _parab_offset(rawp[..., 3, 3], sc, rawp[..., 3, 5])
+    dy = _parab_offset(rawp[..., 2, 4], sc, rawp[..., 4, 4])
+    return x.astype(jnp.float32) + dx, y.astype(jnp.float32) + dy
 
 
 def _subpixel_refine(score_raw: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
@@ -250,9 +307,14 @@ def select_corners(
     h, w = score.shape
     s_y, s_x, ncy, ncx = _cell_geometry(h, w, cell_size)
 
-    # pad to the cell grid and reshape to [ncells, cellpix]
+    # pad to the cell grid and reshape to [ncells, cellpix]; selection
+    # ranks by score + plateau dither (see _plateau_dither) so equal-score
+    # runs on repetitive structure come back stratified, not clustered —
+    # the exact scores are recovered after selection by subtracting the
+    # (position-determined) dither
     pad_y, pad_x = ncy * s_y - h, ncx * s_x - w
     sp = jnp.pad(score, ((0, pad_y), (0, pad_x)))
+    sp = sp + _plateau_dither(ncy * s_y, ncx * s_x)
     cells = sp.reshape(ncy, s_y, ncx, s_x).transpose(0, 2, 1, 3)
     cells = cells.reshape(ncy * ncx, s_y * s_x)
 
@@ -269,26 +331,34 @@ def select_corners(
     # bar and flicker the fallback decision) — the halved retry threshold
     # rounds like the reference's int(t * 0.5 + 0.5)
     # (lvt_image_features_handler.cpp:161-169).
-    top_scores, flat_idx = jax.lax.approx_max_k(cells, max_per_cell)
+    top_keys, flat_idx = jax.lax.approx_max_k(cells, max_per_cell)
+
+    cell_ids = jnp.arange(ncy * ncx)[:, None]
+    cy = cell_ids // ncx
+    cx = cell_ids % ncx
+    y2 = cy * s_y + flat_idx // s_x
+    x2 = cx * s_x + flat_idx % s_x
+    # exact score recovery: the dither is a pure function of position, and
+    # score + dither is exact in f32 for integer scores < 512 (uint8
+    # frames), so threshold semantics are unchanged
+    top_scores = top_keys - _dither_at(y2, x2)
+    y = y2.reshape(-1)
+    x = x2.reshape(-1)
+
     t_low = jnp.floor(threshold * 0.5 + 0.5)
     use_low = jnp.sum(top_scores > threshold) < corners_low_threshold
     t_eff = jnp.where(use_low, t_low, threshold)
     valid = top_scores > t_eff
 
-    cell_ids = jnp.arange(ncy * ncx)[:, None]
-    cy = cell_ids // ncx
-    cx = cell_ids % ncx
-    y = (cy * s_y + flat_idx // s_x).reshape(-1)
-    x = (cx * s_x + flat_idx % s_x).reshape(-1)
-
+    xi = jnp.minimum(x, w - 1)
+    yi = jnp.minimum(y, h - 1)
     if subpixel:
         refine = {"slice": _subpixel_refine_slice,
                   "flat": _subpixel_refine_flat}.get(gather_mode,
                                                      _subpixel_refine)
-        xf, yf = refine(score_raw, jnp.minimum(x, w - 1),
-                        jnp.minimum(y, h - 1))
+        xf, yf = refine(score_raw, xi, yi)
     else:
-        xf, yf = x.astype(jnp.float32), y.astype(jnp.float32)
+        xf, yf = xi.astype(jnp.float32), yi.astype(jnp.float32)
     kp = jnp.stack([xf, yf], axis=-1)
     score_out = top_scores.reshape(-1)
     valid = valid.reshape(-1)
@@ -298,4 +368,5 @@ def select_corners(
         valid=valid,
         count=jnp.sum(valid),
         threshold_used=t_eff,
+        kp_int=jnp.stack([xi, yi], axis=-1).astype(jnp.int32),
     )

@@ -1,0 +1,202 @@
+"""Per-keypoint patch extraction (Pallas/TPU): the gather-tax killer.
+
+Round-4 attribution (BASELINE.md "gather tax") measured scattered
+per-keypoint lookups at ~10-25 ns/element on v5e: the dense BRIEF planes
+kernel (0.34 ms/frame-stream, the largest single op in the r4 xplane trace)
+plus its crop and the per-keypoint descriptor/subpixel gathers cost ~0.5 ms
+of the ~1.9 ms step.  This kernel replaces all of that with the structural
+fix the r4 round scoped: keep the *whole* smoothed-image and raw-score maps
+resident in VMEM (KITTI-sized maps are ~2 MB each; v5e VMEM is 16 MB) and
+extract one contiguous 32x32 smooth patch + 8x8 raw patch per keypoint.
+
+Mosaic only proves vector loads whose sublane offset is a multiple of 8 and
+whose lane offset is a multiple of 128 (probed on v5e: an unaligned
+``ref[pl.ds(y-15, 32), ...]`` fails with "cannot statically prove that
+index in dimension 0 is a multiple of 8").  So each extraction is:
+
+    1. ONE aligned load of a (40, 256) span that provably contains the
+       patch (row start rounded down to 8, lane start to 128; both clamped
+       so the span stays inside the padded map — paddings are multiples of
+       the alignment, keeping the clamp truthful);
+    2. two dynamic rotates (Mosaic's 32-bit ``tpu.dynamic_rotate`` — the
+       same primitive as pltpu.roll, already proven on hardware by the
+       perception kernels) that bring the patch to offset (0, 0);
+    3. a static offset-0 slice + store.
+
+The raw patch rides the same span coordinates (its smaller extent is a
+fixed (+12, +12) offset inside the smooth span).  Invalid keypoints write
+zeros and skip the loads entirely (~30-50%% of slots on typical frames).
+
+NOT used: static lane-offset slices (r4: silent miscompile on v5e) and
+per-element gathers (the very tax this kernel removes).
+
+Downstream, descriptor formation is dense linear algebra on the patch
+tensor (ops/brief.descriptors_from_patches): the 64 BRIEF pool samples are
+one static one-hot matmul, evaluated at ``Precision.HIGHEST`` so every
+sampled value is *bit-exact* f32 (a one-hot contraction's partial sums are
+exactly representable at every step of the bf16 expansion), and the 256
+pair comparisons + packing act on [K, 64] — no HBM-visible per-keypoint
+gather anywhere.  Subpixel refinement reads static slices of the raw
+patches (ops/detect.subpixel_from_patches).
+
+Replaces the detect+describe hot loops of the reference
+(lvt/src/lvt_image_features_handler.cpp:131-175) on the TPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PATCH = 32        # smooth patch extent; pool offsets live in [-15, 15]
+PATCH_R0 = 15     # pool sample (dx, dy) maps to patch row PATCH_R0 + dy
+PATCH_C0 = 16     # ... and patch col PATCH_C0 + dx
+RAWP = 8          # raw-score patch extent (3x3 subpixel neighborhood + pad)
+RAWP_R0 = 3       # corner center sits at raw patch (RAWP_R0, RAWP_C0)
+RAWP_C0 = 4
+CHUNK = 128       # keypoints per grid step (keeps the out block <= 512 KB)
+SPAN_R = 40       # aligned span rows: 32 + 8 (row-alignment slack)
+SPAN_C = 256      # aligned span lanes: 32 + 128 slack, rounded up to 128
+_RAW_OFF = PATCH_R0 - RAWP_R0  # == PATCH_C0 - RAWP_C0 == 12
+
+
+def clamp_coords(x: jnp.ndarray, y: jnp.ndarray, hp: int, wp: int):
+    """Clamp integer keypoint coords so both patch reads stay in-bounds of
+    the [hp, wp] padded maps.  Valid keypoints (BRIEF border: 20 px) are
+    never moved; invalid/padded selections produce in-bounds garbage that
+    the validity mask kills downstream."""
+    x = jnp.clip(x, PATCH_C0, wp - PATCH + PATCH_C0)   # [16, wp-16]
+    y = jnp.clip(y, PATCH_R0, hp - PATCH + PATCH_R0)   # [15, hp-17]
+    return x, y
+
+
+def _patch_kernel(coords_ref, smooth_hbm, raw_hbm, patches_ref, rawp_ref,
+                  smooth_slab, raw_slab, sems, *, hp: int, wp: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)  # first chunk of a new image: stage both maps in VMEM
+    def _():
+        c1 = pltpu.make_async_copy(smooth_hbm.at[b], smooth_slab, sems.at[0])
+        c2 = pltpu.make_async_copy(raw_hbm.at[b], raw_slab, sems.at[1])
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    def spanned(slab, y0, x0, r, c, extent):
+        big = slab[pl.ds(pl.multiple_of(y0, 8), SPAN_R),
+                   pl.ds(pl.multiple_of(x0, 128), SPAN_C)]
+        big = pltpu.roll(big, (SPAN_R - r) % SPAN_R, 0)
+        big = pltpu.roll(big, (SPAN_C - c) % SPAN_C, 1)
+        return big[:extent, :extent]
+
+    def body(k, carry):
+        x = coords_ref[0, k, 0]
+        y = coords_ref[0, k, 1]
+        v = coords_ref[0, k, 2]
+
+        @pl.when(v != 0)
+        def _():
+            ys = y - PATCH_R0
+            xs = x - PATCH_C0
+            y0 = jnp.minimum((ys // 8) * 8, hp - SPAN_R)
+            x0 = jnp.minimum((xs // 128) * 128, wp - SPAN_C)
+            r = ys - y0   # in [0, 8]
+            c = xs - x0   # in [0, 224]
+            patches_ref[0, k] = spanned(smooth_slab, y0, x0, r, c, PATCH)
+            rawp_ref[0, k] = spanned(raw_slab, y0, x0,
+                                     r + _RAW_OFF, c + _RAW_OFF, RAWP)
+
+        @pl.when(v == 0)
+        def _():
+            patches_ref[0, k] = jnp.zeros((PATCH, PATCH), jnp.float32)
+            rawp_ref[0, k] = jnp.zeros((RAWP, RAWP), jnp.float32)
+
+        return carry
+
+    jax.lax.fori_loop(0, CHUNK, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extract_patches_batched(
+    smooth: jnp.ndarray,   # [B, Hp, Wp] float32 (padded maps; Hp % 8 == 0,
+    raw: jnp.ndarray,      #   Wp % 128 == 0 — kernel A guarantees both)
+    x: jnp.ndarray,        # [B, K] int32, pre-clamped (clamp_coords)
+    y: jnp.ndarray,        # [B, K] int32
+    valid: jnp.ndarray,    # [B, K] bool — invalid slots come back zeroed
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-keypoint patches: ([B, K, 32, 32] smooth, [B, K, 8, 8] raw)."""
+    bsz, hp, wp = smooth.shape
+    assert raw.shape == smooth.shape, (raw.shape, smooth.shape)
+    assert hp % 8 == 0 and wp % 128 == 0 and hp >= SPAN_R and wp >= SPAN_C, (
+        (hp, wp))
+    k = x.shape[1]
+    kp = -(-k // CHUNK) * CHUNK
+    pad = ((0, 0), (0, kp - k))
+    if kp != k:
+        x = jnp.pad(x, pad, constant_values=PATCH_C0)
+        y = jnp.pad(y, pad, constant_values=PATCH_R0)
+        valid = jnp.pad(valid, pad)
+    coords = jnp.stack(
+        [x, y, valid.astype(x.dtype), jnp.zeros_like(x)], axis=-1
+    ).astype(jnp.int32)                                   # [B, Kp, 4]
+
+    def kernel(*refs):
+        _patch_kernel(*refs, hp=hp, wp=wp)
+
+    # distinct Mosaic kernel name per shape (remote-relay kernel-name
+    # collisions across executables; see ops/top2_pallas.py)
+    kernel.__name__ = f"extract_patches_{hp}x{wp}_{kp}"
+
+    patches, rawp = pl.pallas_call(
+        kernel,
+        grid=(bsz, kp // CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, 4), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, CHUNK, PATCH, PATCH), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHUNK, RAWP, RAWP), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, kp, PATCH, PATCH), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, kp, RAWP, RAWP), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.VMEM((hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(coords, smooth.astype(jnp.float32), raw.astype(jnp.float32))
+    return patches[:, :k], rawp[:, :k]
+
+
+def extract_patches_xla(
+    smooth: jnp.ndarray, raw: jnp.ndarray,
+    x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure-XLA reference implementation (CPU path + equivalence tests):
+    identical outputs via vmapped dynamic_slice."""
+
+    def one(sm, rw, xs, ys, vs):
+        p = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            sm, (yy - PATCH_R0, xx - PATCH_C0), (PATCH, PATCH)))(ys, xs)
+        rp = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            rw, (yy - RAWP_R0, xx - RAWP_C0), (RAWP, RAWP)))(ys, xs)
+        return (jnp.where(vs[:, None, None], p, 0.0),
+                jnp.where(vs[:, None, None], rp, 0.0))
+
+    return jax.vmap(one)(smooth.astype(jnp.float32), raw.astype(jnp.float32),
+                         x, y, valid)

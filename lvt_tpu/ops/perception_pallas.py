@@ -46,7 +46,21 @@ TILE_ROWS_B = 32  # kernel B keeps 64 pool slabs live -> smaller row tile
 COL_HALO = 64     # column halo (covers both kernels; 2*64 keeps the slab
 #                   width a multiple of 128 whenever the column tile is)
 MAX_COL_TILE = 512
-INT16_KERNELS = False  # see _run_kernel_a: Mosaic roll is 32-bit-only
+# int16 kernel-A compute for uint8 frames (exact; see _score_smooth_kernel).
+# Mosaic's rotate is 32-bit-only, so int16 shifts ride a bitcast SUBLANE-PAIR
+# view (two rows per uint32 lane; hardware packing probed on v5e by
+# scripts/tpu_patch_check.py: lo half = even row) — every roll moves half
+# the bytes of the f32 path. CONCLUSION OF THE r5 HARDWARE CAMPAIGN: the
+# path cannot be enabled on this toolchain. Mosaic legalizes i16 vector
+# add/sub/bitcast but NEITHER `arith.minsi` NOR `arith.cmpi` (both fail
+# "failed to legalize" on vector<8x128x2xi16>, v5e remote relay), and the
+# FAST arc reduction is 64 min/max ops; SWAR-emulating a packed-halfword
+# min in uint32 costs ~8 half-width ops (~4 full-width equivalents) per
+# min — worse than the f32 it replaces. The path stays interpret-proven
+# (tests/test_pallas_perception.py) and off on hardware; revisit only if a
+# newer Mosaic legalizes 16-bit vector compares.
+# Overridable per-call via the ``int16`` static arg (config.int16_perception).
+INT16_DEFAULT = False
 
 
 def _col_tile(w: int) -> int:
@@ -77,6 +91,52 @@ def _roll2(a, dy: int, dx: int):
     return out
 
 
+def _colroll(x, dx: int):
+    """Column-only shift, any dtype. int16 rides the 32-bit sublane-pair
+    view (column rolls never cross the row packing), halving the movement;
+    other dtypes defer to _roll2."""
+    if x.dtype == jnp.int16 and dx:
+        p = pltpu.bitcast(x, jnp.uint32)
+        return pltpu.bitcast(pltpu.roll(p, (-dx) % x.shape[1], 1), jnp.int16)
+    return _roll2(x, 0, dx)
+
+
+class _Roller:
+    """Shift provider: ``shift(dy, dx)[p] = a[p + (dy, dx)]`` circularly
+    (wrap corruption confined to the slab halo, same as _roll2).
+
+    f32 slabs defer to _roll2 (bit-identical to the r3/r4 kernels). int16
+    slabs — Mosaic's dynamic rotate being 32-bit-only — are viewed as
+    uint32 SUBLANE PAIRS (row 2i in the low half, row 2i+1 in the high
+    half; hardware packing probed by scripts/tpu_patch_check.py). In that
+    view any even row shift and any column shift is ONE half-size roll;
+    odd row shifts reuse a one-time ``p1`` view of the slab pre-shifted by
+    a single row (built with two 16-bit lane shifts + one roll), after
+    which they too are single half-size rolls. Net: ~half the VPU data
+    movement of the f32 path for the ~40 shifted samples of kernel A."""
+
+    def __init__(self, a):
+        self.a = a
+        self.i16 = a.dtype == jnp.int16
+        if self.i16:
+            assert a.shape[0] % 2 == 0, a.shape
+            self.rh = a.shape[0] // 2
+            p0 = pltpu.bitcast(a, jnp.uint32)
+            pn = pltpu.roll(p0, self.rh - 1, 0)           # p0[i + 1]
+            self.pair = (p0, (p0 >> 16) | (pn << 16))     # p1[i] = rows(2i+1, 2i+2)
+
+    def shift(self, dy: int, dx: int):
+        if not self.i16:
+            return _roll2(self.a, dy, dx)
+        out = self.pair[dy & 1]
+        q = dy >> 1   # floor halving: dy = 2q (even) or 2q + 1 (odd)
+        if q:
+            out = pltpu.roll(out, (-q) % self.rh, 0)
+        if dx:
+            out = pltpu.roll(out, (-dx) % self.a.shape[1], 1)
+        return pltpu.bitcast(out, jnp.int16)
+
+
 def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
                          *, img_h: int, img_w: int, col_tile: int,
                          work_dtype=jnp.float32):
@@ -103,26 +163,41 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     if a.dtype == jnp.uint8:
         a = a.astype(jnp.int32)
     a = a.astype(work_dtype)
+    ra = _Roller(a)
 
     def central(x):
         x = jax.lax.slice_in_dim(x, HALO_A, HALO_A + TILE_ROWS_A, axis=0)
         return jax.lax.slice_in_dim(x, COL_HALO, COL_HALO + col_tile, axis=1)
 
+    def widen(x):
+        # Mosaic-safe cast to the f32 output refs (int16 via int32)
+        if x.dtype == jnp.int16:
+            x = x.astype(jnp.int32)
+        return x.astype(jnp.float32)
+
     # ---- 9x9 box *sum* (separable shift-add tree)
     rsum = a
     for d in range(1, 5):
-        rsum = rsum + _roll2(a, d, 0) + _roll2(a, -d, 0)
+        rsum = rsum + ra.shift(d, 0) + ra.shift(-d, 0)
     smooth = rsum
     for d in range(1, 5):
-        smooth = smooth + _roll2(rsum, 0, d) + _roll2(rsum, 0, -d)
-    smooth_ref[0, :, :] = central(smooth).astype(smooth_ref.dtype)
+        smooth = smooth + _colroll(rsum, d) + _colroll(rsum, -d)
+    smooth_ref[0, :, :] = widen(central(smooth))
 
     # ---- FAST-9/16 max-threshold score via log-step doubling.
     # arc9_min[i] = min(d[i..i+8]) built as windows 2 -> 4 -> 8 -> 9;
     # the "rolls" along the ring axis are list reindexings (free), so this
     # is 4x16 min ops instead of the 16x8 sequential-arc formulation.
     # Peak liveness: diffs + two window levels ~= 48 slab-sized arrays.
-    diffs = [_roll2(a, dy, dx) - a for dx, dy in RING_OFFSETS]
+    # int16 lacks a legalized vector min/max in Mosaic (v5e:
+    # "failed to legalize arith.minsi" on vector<...xi16>), so the int16
+    # path spells them as compare+select.
+    if work_dtype == jnp.int16:
+        vmin = lambda x, y: jnp.where(x < y, x, y)
+        vmax = lambda x, y: jnp.where(x > y, x, y)
+    else:
+        vmin, vmax = jnp.minimum, jnp.maximum
+    diffs = [ra.shift(dy, dx) - a for dx, dy in RING_OFFSETS]
 
     def arc9(ds, op):
         b2 = [op(ds[k], ds[(k + 1) % 16]) for k in range(16)]
@@ -138,11 +213,11 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
         return xs[0]
 
     # bright: max over arcs of (min of d within arc)
-    score_bright = list_reduce(arc9(diffs, jnp.minimum), jnp.maximum)
+    score_bright = list_reduce(arc9(diffs, vmin), vmax)
     # dark: max over arcs of (min of -d) == -(min over arcs of (max of d))
-    score_dark = -list_reduce(arc9(diffs, jnp.maximum), jnp.minimum)
-    score = jnp.maximum(jnp.maximum(score_bright, score_dark),
-                        jnp.asarray(0, score_bright.dtype))
+    score_dark = -list_reduce(arc9(diffs, vmax), vmin)
+    score = vmax(vmax(score_bright, score_dark),
+                 jnp.zeros_like(score_bright))
 
     # zero outside the ring-interior of the *original* image before NMS so
     # suppression decisions match the unfused path (fast_score_map masks the
@@ -166,26 +241,25 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
         neg_inf = jnp.asarray(jnp.iinfo(score.dtype).min, score.dtype)
     before = score * 0 + neg_inf
     after = before
+    rs = _Roller(score)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if (dy, dx) == (0, 0):
                 continue
-            n = _roll2(score, dy, dx)
+            n = rs.shift(dy, dx)
             if (dy, dx) < (0, 0):
-                before = jnp.maximum(before, n)
+                before = vmax(before, n)
             else:
-                after = jnp.maximum(after, n)
-    raw_ref[0, :, :] = central(score).astype(jnp.float32)
-    score_ref[0, :, :] = central(
+                after = vmax(after, n)
+    raw_ref[0, :, :] = widen(central(score))
+    score_ref[0, :, :] = widen(central(
         jnp.where((score > before) & (score >= after), score,
                   jnp.asarray(0, score.dtype))
-    ).astype(jnp.float32)
+    ))
 
 
 def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
                   *, col_tile: int):
-    # slab dtype follows the smooth dtype (int16 for uint8 frames): the 64
-    # pool rolls are this kernel's cost, and int16 halves their movement
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -216,26 +290,31 @@ def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
         planes_ref[0, word, :, :] = central(acc)
 
 
-def _run_kernel_a(imgs: jnp.ndarray, interpret: bool):
+def _run_kernel_a(imgs: jnp.ndarray, interpret: bool,
+                  int16: bool | None = None):
     """Kernel A over a [B, H, W] batch -> (raw, score, smooth) padded to
-    tile multiples (crop with [:, :h, :w]). uint8 inputs compute in int16
-    (exact — see _score_smooth_kernel) and emit int16 smooth; float inputs
-    keep the f32 path."""
+    tile multiples (crop with [:, :h, :w]); all three outputs f32.
+
+    ``int16`` (None = INT16_DEFAULT) selects int16 compute for uint8
+    frames — EXACT: 9x9 box sums <= 81*255 = 20655 < 32767, FAST diffs in
+    [-255, 255] — with every shifted sample built through the 32-bit
+    sublane-pair view (_Roller), since Mosaic's rotate rejects non-32-bit
+    data. This halves the VPU movement of the ~40 slab shifts that
+    dominate the kernel AND doubles the native (16, 128) element
+    throughput of the arc reduction. The r4 attempt to get here via
+    static lane-offset slices miscompiled on real v5e (_roll2 docstring);
+    the pair view uses only rolls + 32-bit shift/or — but the path is
+    still blocked ON HARDWARE because Mosaic cannot legalize i16 vector
+    min/cmp (see INT16_DEFAULT above). Interpret-mode exact; hardware
+    status re-probed by scripts/tpu_patch_check.py."""
     bsz, h, w = imgs.shape
     # uint8 input stays uint8 through the pad + DMA (kernel A widens in
     # VMEM); any other dtype normalizes to float32
     if imgs.dtype != jnp.uint8:
         imgs = imgs.astype(jnp.float32)
-    # int16 compute (exact for uint8 frames, halves the roll movement that
-    # dominates both kernels) is DISABLED on hardware: Mosaic's
-    # tpu.dynamic_rotate only supports 32-bit data ("Rotate with non-32-bit
-    # data", v5e, r4) — pltpu.roll is how every shifted sample is built
-    # here. The int16 path stays (exercised exactly in interpret mode by
-    # tests/test_pallas_perception.py); enabling it on TPU needs the rolls
-    # rewritten as static halo-slab slices (r5 item).
-    use_i16 = bool(INT16_KERNELS) and imgs.dtype == jnp.uint8
+    use_i16 = ((INT16_DEFAULT if int16 is None else bool(int16))
+               and imgs.dtype == jnp.uint8)
     work_dtype = jnp.int16 if use_i16 else jnp.float32
-    smooth_dtype = jnp.int16 if use_i16 else jnp.float32
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
@@ -272,7 +351,7 @@ def _run_kernel_a(imgs: jnp.ndarray, interpret: bool):
         out_shape=(
             jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
             jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, hp_a, wp), smooth_dtype),
+            jax.ShapeDtypeStruct((bsz, hp_a, wp), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM(
@@ -292,32 +371,50 @@ def _interior_mask(h: int, w: int):
     return ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "int16"))
 def score_smooth_batched(
-    imgs: jnp.ndarray, interpret: bool = False
+    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Kernel A only: imgs [B, H, W] -> (raw_score, nms_score, smooth),
-    each [B, H, W]. Used by the kernel-B-free descriptor modes
-    (config.use_dense_brief=False): descriptors are formed from ``smooth``
+    each [B, H, W]. Used by the sparse descriptor mode
+    (descriptor_mode="sparse"): descriptors are formed from ``smooth``
     at the selected keypoints, so the dense bit-plane kernel B never runs.
     The take-based sparse gather measured 538 -> 283 fps on v5e and is
     opt-in evidence only; the patch-kernel mode (ops/patches_pallas.py)
     is the production TPU default."""
     bsz, h, w = imgs.shape
-    raw, score, smooth = _run_kernel_a(imgs, interpret)
+    raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
     raw = raw[:, :h, :w]
     score = score[:, :h, :w]
     interior = _interior_mask(h, w)
     return (
         jnp.where(interior, raw, 0.0),
         jnp.where(interior, score, 0.0),
-        smooth[:, :h, :w].astype(jnp.float32),
+        smooth[:, :h, :w],
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "int16"))
+def perception_patch_maps_batched(
+    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Kernel A for the patch descriptor mode: imgs [B, H, W] ->
+    (nms_score [B, H, W] interior-masked for cell selection,
+     raw_padded [B, Hp, Wp], smooth_padded [B, Hp, Wp]).
+
+    raw/smooth keep kernel A's tile padding — the patch kernel
+    (ops/patches_pallas) clamps keypoint coords against the padded extent,
+    so no crop/copy of the two big maps is ever materialized."""
+    bsz, h, w = imgs.shape
+    raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
+    interior = _interior_mask(h, w)
+    nms = jnp.where(interior, score[:, :h, :w], 0.0)
+    return nms, raw, smooth
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "int16"))
 def perception_maps_batched(
-    imgs: jnp.ndarray, interpret: bool = False
+    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched fused perception: imgs [B, H, W] ->
     (raw_score [B, H, W], nms_score [B, H, W], planes [B, 8, H, W]).
@@ -332,9 +429,11 @@ def perception_maps_batched(
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
-    raw, score, smooth = _run_kernel_a(imgs, interpret)
+    raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
 
-    # ---- kernel B: BRIEF planes from the smoothed image
+    # ---- kernel B: BRIEF planes from the smoothed image (always f32:
+    # dense mode left the TPU production path in r5 — the patch kernel
+    # replaced it — so kernel B keeps the plain-f32 formulation)
     n_tiles_b = -(-h // TILE_ROWS_B)
     hp_b = n_tiles_b * TILE_ROWS_B
     smooth_p = jnp.pad(

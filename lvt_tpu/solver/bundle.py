@@ -90,6 +90,125 @@ def _skew(p):
     ], -2)
 
 
+def chi2_gate_weights(
+    poses: Pose,          # [F] camera-in-world (left camera)
+    points: jnp.ndarray,  # [M, 3]
+    obs: jnp.ndarray,     # [F, M, 2]
+    w: jnp.ndarray,       # [F, M]
+    *,
+    fx, fy, cx, cy,
+    baseline: float = 0.0,
+    obs_right: jnp.ndarray | None = None,
+    w_right: jnp.ndarray | None = None,
+    gate_th2: float = 0.5,
+    psum_axis: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Per-observation chi-square gate at the CURRENT state, applied before
+    windowed BA so that *mismatched* observations (a nearby wrong feature
+    associated into the window — the r4 failure mode that made BA hurt on
+    dense-texture worlds, BASELINE.md "+194% on textured") cannot drag
+    refined points. Noise must pass while mismatches fail, so the gate
+    adapts to the window's own residual scale:
+
+        gate = max(gate_th2, 3 * trimmed_mean(e2))
+
+    where the trimmed mean (observations with e2 <= 4 * plain mean) is a
+    psum-compatible robust scale proxy: for chi-square_2 residuals,
+    mean = 2 sigma^2 and P(e2 > 3 * mean) = exp(-3) ~ 5%%, so legitimate
+    observations survive in any noise regime while isolated mismatches —
+    many sigma out — are cut. ``gate_th2`` is only a degenerate-scale
+    floor (sub-pixel residual windows), NOT the chi-square 95%% bound: on
+    near-noiseless dense texture correct matches are sub-pixel while the
+    mismatches that made ungated BA hurt sit at 1-2.4 px — a 5.991 floor
+    let them through (measured r5: textured ATE +15%% with the loose
+    floor, parity with BA-off at 0.5). All reductions are psums under
+    ``psum_axis``, so the gate runs unchanged inside the sharded-map BA.
+
+    Returns gated copies of (w, w_right)."""
+    dtype = points.dtype
+    fxj = jnp.asarray(fx, dtype)
+    fyj = jnp.asarray(fy, dtype)
+    cxj = jnp.asarray(cx, dtype)
+    cyj = jnp.asarray(cy, dtype)
+    psum = (lambda x: jax.lax.psum(x, psum_axis)) if psum_axis else (
+        lambda x: x)
+    r_wc, t_wc = _poses_to_w2c(poses)
+
+    def block_e2(obs_b, x_off):
+        p = (jnp.einsum("fij,mj->fmi", r_wc, points) + t_wc[:, None, :]
+             + jnp.asarray([x_off, 0.0, 0.0], dtype))
+        z = p[..., 2]
+        inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = fxj * p[..., 0] * inv_z + cxj
+        v = fyj * p[..., 1] * inv_z + cyj
+        r = jnp.stack([u, v], -1) - obs_b
+        return jnp.sum(r * r, -1)
+
+    e2_l = block_e2(obs, 0.0)
+    w_l = w.astype(dtype)
+    e2_all = [e2_l]
+    w_all = [w_l]
+    if obs_right is not None:
+        assert w_right is not None and baseline
+        e2_r = block_e2(obs_right, -float(baseline))
+        w_r = w_right.astype(dtype)
+        e2_all.append(e2_r)
+        w_all.append(w_r)
+
+    n = psum(sum(jnp.sum(wb) for wb in w_all))
+    n = jnp.maximum(n, 1.0)
+    m1 = psum(sum(jnp.sum(wb * e2) for wb, e2 in zip(w_all, e2_all))) / n
+    trim = [wb * (e2 <= 4.0 * m1) for wb, e2 in zip(w_all, e2_all)]
+    n2 = jnp.maximum(psum(sum(jnp.sum(tb) for tb in trim)), 1.0)
+    m2 = psum(sum(jnp.sum(tb * e2) for tb, e2 in zip(trim, e2_all))) / n2
+    gate = jnp.maximum(jnp.asarray(gate_th2, dtype), 3.0 * m2)
+
+    w_out = w_l * (e2_l <= gate)
+    if obs_right is None:
+        return w_out, None
+    return w_out, w_r * (e2_r <= gate)
+
+
+def weighted_point_e2(
+    poses: Pose,
+    points: jnp.ndarray,
+    obs: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    fx, fy, cx, cy,
+    baseline: float = 0.0,
+    obs_right: jnp.ndarray | None = None,
+    w_right: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[M] per-point weighted sum of squared reprojection errors over the
+    window (both stereo blocks). Used as the accept/reject metric for the
+    BA structure writeback: the trajectory stays the PnP output, so a
+    refined point is only an improvement if it fits the observations
+    better under the ORIGINAL window poses."""
+    dtype = points.dtype
+    fxj = jnp.asarray(fx, dtype)
+    fyj = jnp.asarray(fy, dtype)
+    cxj = jnp.asarray(cx, dtype)
+    cyj = jnp.asarray(cy, dtype)
+    r_wc, t_wc = _poses_to_w2c(poses)
+
+    def block(obs_b, w_b, x_off):
+        p = (jnp.einsum("fij,mj->fmi", r_wc, points) + t_wc[:, None, :]
+             + jnp.asarray([x_off, 0.0, 0.0], dtype))
+        z = p[..., 2]
+        inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = fxj * p[..., 0] * inv_z + cxj
+        v = fyj * p[..., 1] * inv_z + cyj
+        r = jnp.stack([u, v], -1) - obs_b
+        return jnp.sum(w_b.astype(dtype) * jnp.sum(r * r, -1), axis=0)
+
+    total = block(obs, w, 0.0)
+    if obs_right is not None:
+        assert w_right is not None and baseline
+        total = total + block(obs_right, w_right, -float(baseline))
+    return total
+
+
 class _BAState(NamedTuple):
     r_wc: jnp.ndarray    # [F, 3, 3]
     t_wc: jnp.ndarray    # [F, 3]

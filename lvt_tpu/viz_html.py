@@ -26,10 +26,18 @@ import numpy as np
 class HtmlMapViewer:
     """Collects per-frame snapshots; writes a self-contained viewer.html."""
 
-    def __init__(self, out_dir: str, max_points: int = 400, every: int = 1):
+    def __init__(self, out_dir: str, max_points: int = 400, every: int = 1,
+                 live_every: int = 25):
+        """``live_every`` > 0 rewrites viewer.html every that many recorded
+        snapshots, so opening the file DURING a long CLI run shows the
+        trajectory so far (the viewer auto-reloads in live mode and
+        preserves its camera/playback state across reloads) — the runtime
+        equivalent of the reference's live viewer thread
+        (lvt_visualization.cpp:137-349) without touching the hot path."""
         self.out_dir = out_dir
         self.max_points = max_points
         self.every = every
+        self.live_every = live_every
         self.frames: list[dict] = []
         self._i = 0
         os.makedirs(out_dir, exist_ok=True)
@@ -65,6 +73,8 @@ class HtmlMapViewer:
             "age": [int(a) for a in age],
             "staged": [[round(float(v), 3) for v in p] for p in spos],
         })
+        if self.live_every and len(self.frames) % self.live_every == 0:
+            self.write_viewer()
 
     def write_viewer(self, filename: str = "viewer.html") -> str:
         path = os.path.join(self.out_dir, filename)
@@ -87,6 +97,7 @@ _HTML = """<!DOCTYPE html>
 <div id="bar">
  <button id="play">play</button>
  <button id="follow">follow: on</button>
+ <button id="live">live: off</button>
  <input id="seek" type="range" min="0" value="0" step="1">
 </div>
 <script>
@@ -94,8 +105,17 @@ const FRAMES=__DATA__;
 const cv=document.getElementById('c'),ctx=cv.getContext('2d');
 let W,H;function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
 resize();addEventListener('resize',resize);
-let fi=0,playing=false,follow=true;
+let fi=0,playing=false,follow=true,live=false;
 let yaw=-0.6,pitch=0.45,dist=18,center=[0,0,0];
+// live mode: the CLI rewrites this file during the run; restore the view
+// state a reload saved, track the newest frame while live
+try{const s=JSON.parse(localStorage.getItem('lvtview')||'null');
+ if(s){yaw=s.yaw;pitch=s.pitch;dist=s.dist;center=s.center;follow=s.follow;
+  live=!!s.live;fi=live?FRAMES.length-1:Math.min(s.fi,FRAMES.length-1);}
+}catch(e){}
+function saveView(){localStorage.setItem('lvtview',JSON.stringify(
+ {yaw,pitch,dist,center,follow,fi,live}));}
+setInterval(()=>{saveView();if(live)location.reload();},4000);
 const seek=document.getElementById('seek');seek.max=FRAMES.length-1;
 function rot(p){ // world -> view (y-down world like the camera frame)
  const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
@@ -143,7 +163,7 @@ function draw(){
  frustum(fr);
  document.getElementById('hud').textContent=
   `frame ${fi+1}/${FRAMES.length}  map ${fr.map.length} pts  staged ${fr.staged.length}`+
-  `  [drag] orbit  [wheel] zoom  [space] play  [f] follow  [r] reset  [q] stop`;
+  `  [drag] orbit  [wheel] zoom  [space] play  [f] follow  [l] live  [r] reset  [q] stop`;
  seek.value=fi;
 }
 function tick(){if(playing){fi=Math.min(fi+1,FRAMES.length-1);
@@ -161,10 +181,15 @@ document.getElementById('play').onclick=()=>{playing=!playing;
  document.getElementById('play').textContent=playing?'pause':'play';};
 document.getElementById('follow').onclick=()=>{follow=!follow;
  document.getElementById('follow').textContent='follow: '+(follow?'on':'off');};
+function setLive(v){live=v;document.getElementById('live').textContent=
+ 'live: '+(live?'on':'off');if(live)fi=FRAMES.length-1;saveView();}
+document.getElementById('live').onclick=()=>setLive(!live);
+setLive(live);
 seek.oninput=()=>{fi=+seek.value;};
 addEventListener('keydown',e=>{
  if(e.key===' '){playing=!playing;e.preventDefault();}
  else if(e.key==='f')follow=!follow;
+ else if(e.key==='l')setLive(!live);
  else if(e.key==='r'){yaw=-0.6;pitch=0.45;dist=18;}
  else if(e.key==='q')playing=false;});
 </script></body></html>

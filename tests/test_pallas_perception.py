@@ -69,7 +69,8 @@ def test_full_extraction_equivalence(img):
     det = detect.select_corners(
         raw, nms, 12.0, cell_size=100, max_per_cell=64,
     )
-    desc, valid = brief.descriptors_from_planes(planes, det.kp, det.valid)
+    desc, valid = brief.descriptors_from_planes(
+        planes, det.kp_int.astype(jnp.float32), det.valid)
 
     np.testing.assert_allclose(np.asarray(det.kp), np.asarray(f_ref.kp)[: det.kp.shape[0]], atol=1e-4)
     np.testing.assert_array_equal(np.asarray(valid),
@@ -80,23 +81,27 @@ def test_full_extraction_equivalence(img):
     assert (ham[np.asarray(valid)] <= 2).mean() > 0.99
 
 
-def test_uint8_int16_path_matches_f32_path(img, monkeypatch):
-    """The int16 kernel path (disabled on hardware: Mosaic's roll is
-    32-bit-only) is EXACT for uint8 frames — box sums <= 20655, diffs in
-    +-255 — verified in interpret mode against the f32 kernels bit for
-    bit, so it can be enabled the day the rolls become static slices."""
+def test_uint8_int16_path_matches_f32_path(img):
+    """The int16 kernel-A path (32-bit sublane-pair rolls, enabled via the
+    ``int16`` static argument / config.int16_perception) is EXACT for
+    uint8 frames — box sums <= 20655, diffs in +-255 — verified in
+    interpret mode against the f32 kernels bit for bit. On-hardware
+    validation: scripts/tpu_patch_check.py."""
     from lvt_tpu.ops import perception_pallas as pp
 
-    monkeypatch.setattr(pp, "INT16_KERNELS", True)
-    # the flag is read at trace time but is not part of the jit cache key —
-    # clear the cache so both traces happen under the right flag value
-    pp.perception_maps_batched.clear_cache()
     u8 = np.clip(img, 0, 255).astype(np.uint8)
-    raw_i, nms_i, planes_i = perception_maps(jnp.array(u8), interpret=True)
-    raw_f, nms_f, planes_f = perception_maps(
-        jnp.array(u8.astype(np.float32)), interpret=True)
-    monkeypatch.setattr(pp, "INT16_KERNELS", False)
-    pp.perception_maps_batched.clear_cache()
-    np.testing.assert_array_equal(np.asarray(raw_i), np.asarray(raw_f))
+    outs_i = pp.perception_maps_batched(
+        jnp.array(u8)[None], interpret=True, int16=True)
+    outs_f = pp.perception_maps_batched(
+        jnp.array(u8)[None], interpret=True, int16=False)
+    for got, want, name in zip(outs_i, outs_f, ("raw", "nms", "planes")):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(want), err_msg=name)
+    # the patch-mode entry point agrees too (padded maps)
+    nms_i, raw_i, sm_i = pp.perception_patch_maps_batched(
+        jnp.array(u8)[None], interpret=True, int16=True)
+    nms_f, raw_f, sm_f = pp.perception_patch_maps_batched(
+        jnp.array(u8)[None], interpret=True, int16=False)
     np.testing.assert_array_equal(np.asarray(nms_i), np.asarray(nms_f))
-    np.testing.assert_array_equal(np.asarray(planes_i), np.asarray(planes_f))
+    np.testing.assert_array_equal(np.asarray(raw_i), np.asarray(raw_f))
+    np.testing.assert_array_equal(np.asarray(sm_i), np.asarray(sm_f))
