@@ -154,10 +154,20 @@ def _extract_patch_mode(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
             cell_size=config.detection_cell_size,
             max_per_cell=config.max_keypoints_per_cell,
             corners_low_threshold=config.corners_low_threshold,
-            subpixel=False,
+            subpixel=False, img_hw=(h, w),
         ))(nms)
-    xi = det.kp_int[..., 0]
-    yi = det.kp_int[..., 1]
+    cap = config.kp_capacity   # 128-aligned, so Kp == cap: padding the
+    #                            [B, K] selection arrays HERE (tiny) means
+    #                            the [B, K, 32, 32] patch tensor is never
+    #                            sliced or re-padded (it is ~100 MB at
+    #                            multistream batch sizes)
+
+    def pad(a):
+        return _pad_to(a, cap, axis=1)
+
+    xi = pad(det.kp_int[..., 0])
+    yi = pad(det.kp_int[..., 1])
+    sel_valid = pad(det.valid)
     hp, wp = smooth_pad.shape[1:]
     xc, yc = pt.clamp_coords(xi, yi, hp, wp)
     with jax.named_scope("patch_extract"):
@@ -165,26 +175,24 @@ def _extract_patch_mode(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
             from lvt_tpu.backend import is_tpu_backend
 
             patches, rawp = pt.extract_patches_batched(
-                smooth_pad, raw_pad, xc, yc, det.valid,
+                smooth_pad, raw_pad, xc, yc, sel_valid,
                 interpret=not is_tpu_backend())
         else:
             patches, rawp = pt.extract_patches_xla(
-                smooth_pad, raw_pad, xc, yc, det.valid)
+                smooth_pad, raw_pad, xc, yc, sel_valid)
+        if patches.shape[1] != cap:   # only when max_keypoints overrides
+            patches = patches[:, :cap]   # capacity to a non-128 multiple
+            rawp = rawp[:, :cap]
     with jax.named_scope("describe_refine"):
         desc, valid = jax.vmap(
             lambda p, xx, yy, v: brief.descriptors_from_patches(
                 p, xx, yy, v, h, w)
-        )(patches, xi, yi, det.valid)
+        )(patches, xi, yi, sel_valid)
         xf, yf = detect.subpixel_from_patches(rawp, xi, yi)
         kp = jnp.stack([xf, yf], axis=-1)
-    cap = config.kp_capacity
-
-    def pad(a):
-        return _pad_to(a, cap, axis=1)
-
     return FrameFeatures(
-        kp=pad(kp), desc=pad(desc), score=pad(det.score),
-        depth=jnp.zeros((bsz, cap), jnp.float32), valid=pad(valid),
+        kp=kp, desc=desc, score=pad(det.score),
+        depth=jnp.zeros((bsz, cap), jnp.float32), valid=valid,
     )
 
 

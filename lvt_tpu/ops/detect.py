@@ -296,6 +296,7 @@ def select_corners(
     corners_low_threshold: int = 200,
     subpixel: bool = True,
     gather_mode: str = "scatter",   # "scatter" | "slice" (TPU-fast, same result)
+    img_hw: tuple[int, int] | None = None,
 ) -> Detections:
     """Adaptive threshold + per-cell top-k selection from precomputed score
     maps (shared by the XLA path and the fused Pallas perception kernel).
@@ -303,8 +304,19 @@ def select_corners(
     Output capacity is ncells * max_per_cell, cell-major then score-descending
     (matching the reference's concatenate-per-cell order,
     lvt_image_features_handler.cpp:131-154).
+
+    ``img_hw`` (h, w) lets callers pass a TILE-PADDED score map whose pad
+    region is already zero (kernel A masks the 3px interior of the true
+    image extent in-kernel, so its pad rows/cols are 0): cell geometry
+    derives from the true extents and no crop of the big map is ever
+    materialized.
     """
-    h, w = score.shape
+    if img_hw is None:
+        h, w = score.shape
+    else:
+        h, w = img_hw
+        assert score.shape[0] >= h and score.shape[1] >= w, (
+            score.shape, img_hw)
     s_y, s_x, ncy, ncx = _cell_geometry(h, w, cell_size)
 
     # pad to the cell grid and reshape to [ncells, cellpix]; selection
@@ -312,9 +324,10 @@ def select_corners(
     # runs on repetitive structure come back stratified, not clustered —
     # the exact scores are recovered after selection by subtracting the
     # (position-determined) dither
-    pad_y, pad_x = ncy * s_y - h, ncx * s_x - w
-    sp = jnp.pad(score, ((0, pad_y), (0, pad_x)))
-    sp = sp + _plateau_dither(ncy * s_y, ncx * s_x)
+    gy, gx = ncy * s_y, ncx * s_x
+    sp = score[: min(gy, score.shape[0]), : min(gx, score.shape[1])]
+    sp = jnp.pad(sp, ((0, gy - sp.shape[0]), (0, gx - sp.shape[1])))
+    sp = sp + _plateau_dither(gy, gx)
     cells = sp.reshape(ncy, s_y, ncx, s_x).transpose(0, 2, 1, 3)
     cells = cells.reshape(ncy * ncx, s_y * s_x)
 

@@ -9,26 +9,22 @@ fix the r4 round scoped: keep the *whole* smoothed-image and raw-score maps
 resident in VMEM (KITTI-sized maps are ~2 MB each; v5e VMEM is 16 MB) and
 extract one contiguous 32x32 smooth patch + 8x8 raw patch per keypoint.
 
-Mosaic only proves vector loads whose sublane offset is a multiple of 8 and
-whose lane offset is a multiple of 128 (probed on v5e: an unaligned
-``ref[pl.ds(y-15, 32), ...]`` fails with "cannot statically prove that
-index in dimension 0 is a multiple of 8").  So each extraction is:
+Extraction method: ONE aligned vector load of a span that provably
+contains the patch, then two dynamic rotates (Mosaic's 32-bit
+``tpu.dynamic_rotate``) bring it to offset (0, 0) + a static offset-0
+slice.  Mosaic only proves vector loads whose sublane offset is a
+multiple of 8 and lane offset a multiple of 128 (probed on v5e: an
+unaligned ``ref[pl.ds(y-15, 32), ...]`` fails with "cannot statically
+prove that index in dimension 0 is a multiple of 8"), hence the
+span+rotate dance.
 
-    1. ONE aligned load of a (40, 256) span that provably contains the
-       patch (row start rounded down to 8, lane start to 128; both clamped
-       so the span stays inside the padded map — paddings are multiples of
-       the alignment, keeping the clamp truthful);
-    2. two dynamic rotates (Mosaic's 32-bit ``tpu.dynamic_rotate`` — the
-       same primitive as pltpu.roll, already proven on hardware by the
-       perception kernels) that bring the patch to offset (0, 0);
-    3. a static offset-0 slice + store.
-
-The raw patch rides the same span coordinates (its smaller extent is a
-fixed (+12, +12) offset inside the smooth span).  Invalid keypoints write
-zeros and skip the loads entirely (~30-50%% of slots on typical frames).
-
-NOT used: static lane-offset slices (r4: silent miscompile on v5e) and
-per-element gathers (the very tax this kernel removes).
+Rejected alternatives (all probed on hardware in r5):
+  * per-patch async VMEM->VMEM DMAs (a chunk's copies in flight on
+    per-slot semaphores): Mosaic requires DMA slice offsets to respect
+    the (8, 128) tiling too — "Failed to prove that a tile index in
+    dimension 0 is divisible by the tiling (8)";
+  * static lane-offset slices (r4: silent miscompile on v5e);
+  * per-element gathers (the very tax this kernel removes).
 
 Downstream, descriptor formation is dense linear algebra on the patch
 tensor (ops/brief.descriptors_from_patches): the 64 BRIEF pool samples are
@@ -38,6 +34,10 @@ exactly representable at every step of the bf16 expansion), and the 256
 pair comparisons + packing act on [K, 64] — no HBM-visible per-keypoint
 gather anywhere.  Subpixel refinement reads static slices of the raw
 patches (ops/detect.subpixel_from_patches).
+
+Invalid slots (30-60%% of the padded capacity on typical frames) are
+skipped: the chunk's output block is zeroed once up front and only valid
+keypoints pay the span loads + rotates.
 
 Replaces the detect+describe hot loops of the reference
 (lvt/src/lvt_image_features_handler.cpp:131-175) on the TPU path.
@@ -59,8 +59,11 @@ RAWP = 8          # raw-score patch extent (3x3 subpixel neighborhood + pad)
 RAWP_R0 = 3       # corner center sits at raw patch (RAWP_R0, RAWP_C0)
 RAWP_C0 = 4
 CHUNK = 128       # keypoints per grid step (keeps the out block <= 512 KB)
-SPAN_R = 40       # aligned span rows: 32 + 8 (row-alignment slack)
-SPAN_C = 256      # aligned span lanes: 32 + 128 slack, rounded up to 128
+
+# ---- span geometry
+SPAN_R = 40       # smooth span rows: 32 + 8 (row-alignment slack)
+SPAN_RR = 16      # raw span rows: 8 + 8
+SPAN_C = 256      # span lanes: 32 + 128 slack, rounded up to 128
 _RAW_OFF = PATCH_R0 - RAWP_R0  # == PATCH_C0 - RAWP_C0 == 12
 
 
@@ -74,49 +77,63 @@ def clamp_coords(x: jnp.ndarray, y: jnp.ndarray, hp: int, wp: int):
     return x, y
 
 
-def _patch_kernel(coords_ref, smooth_hbm, raw_hbm, patches_ref, rawp_ref,
-                  smooth_slab, raw_slab, sems, *, hp: int, wp: int):
+def _stage_maps(b, smooth_hbm, raw_hbm, smooth_slab, raw_slab, sems):
+    """DMA both whole maps for image ``b`` into VMEM (once per image)."""
+    c1 = pltpu.make_async_copy(smooth_hbm.at[b], smooth_slab, sems.at[0])
+    c2 = pltpu.make_async_copy(raw_hbm.at[b], raw_slab, sems.at[1])
+    c1.start()
+    c2.start()
+    c1.wait()
+    c2.wait()
+
+
+def _patch_kernel(coords_ref, smooth_hbm, raw_hbm, patches_ref,
+                  rawp_ref, smooth_slab, raw_slab, sems,
+                  *, hp: int, wp: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
-    @pl.when(j == 0)  # first chunk of a new image: stage both maps in VMEM
+    @pl.when(j == 0)
     def _():
-        c1 = pltpu.make_async_copy(smooth_hbm.at[b], smooth_slab, sems.at[0])
-        c2 = pltpu.make_async_copy(raw_hbm.at[b], raw_slab, sems.at[1])
-        c1.start()
-        c2.start()
-        c1.wait()
-        c2.wait()
+        _stage_maps(b, smooth_hbm, raw_hbm, smooth_slab, raw_slab, sems)
 
-    def spanned(slab, y0, x0, r, c, extent):
-        big = slab[pl.ds(pl.multiple_of(y0, 8), SPAN_R),
+    # zero the whole chunk block once; invalid slots stay zero
+    patches_ref[0] = jnp.zeros((CHUNK, PATCH, PATCH), jnp.float32)
+    rawp_ref[0] = jnp.zeros((CHUNK, RAWP, RAWP), jnp.float32)
+
+    def spanned(slab, y0, x0, r, c, span_r, extent):
+        big = slab[pl.ds(pl.multiple_of(y0, 8), span_r),
                    pl.ds(pl.multiple_of(x0, 128), SPAN_C)]
-        big = pltpu.roll(big, (SPAN_R - r) % SPAN_R, 0)
+        big = pltpu.roll(big, (span_r - r) % span_r, 0)
         big = pltpu.roll(big, (SPAN_C - c) % SPAN_C, 1)
         return big[:extent, :extent]
 
-    def body(k, carry):
+    def one(k):
         x = coords_ref[0, k, 0]
         y = coords_ref[0, k, 1]
         v = coords_ref[0, k, 2]
 
         @pl.when(v != 0)
         def _():
-            ys = y - PATCH_R0
-            xs = x - PATCH_C0
-            y0 = jnp.minimum((ys // 8) * 8, hp - SPAN_R)
-            x0 = jnp.minimum((xs // 128) * 128, wp - SPAN_C)
-            r = ys - y0   # in [0, 8]
-            c = xs - x0   # in [0, 224]
-            patches_ref[0, k] = spanned(smooth_slab, y0, x0, r, c, PATCH)
-            rawp_ref[0, k] = spanned(raw_slab, y0, x0,
-                                     r + _RAW_OFF, c + _RAW_OFF, RAWP)
+            extract(k, x, y)
 
-        @pl.when(v == 0)
-        def _():
-            patches_ref[0, k] = jnp.zeros((PATCH, PATCH), jnp.float32)
-            rawp_ref[0, k] = jnp.zeros((RAWP, RAWP), jnp.float32)
+    def extract(k, x, y):
+        ys = y - PATCH_R0
+        xs = x - PATCH_C0
+        y0 = jnp.minimum((ys // 8) * 8, hp - SPAN_R)
+        x0 = jnp.minimum((xs // 128) * 128, wp - SPAN_C)
+        r = ys - y0   # in [0, 8]
+        c = xs - x0   # in [0, 224]
+        patches_ref[0, k] = spanned(smooth_slab, y0, x0, r, c,
+                                    SPAN_R, PATCH)
+        # raw span: same lane window, own (tighter) row window
+        yr = y - RAWP_R0
+        y0r = jnp.minimum((yr // 8) * 8, hp - SPAN_RR)
+        rawp_ref[0, k] = spanned(raw_slab, y0r, x0, yr - y0r,
+                                 c + _RAW_OFF, SPAN_RR, RAWP)
 
+    def body(i, carry):
+        one(i)
         return carry
 
     jax.lax.fori_loop(0, CHUNK, body, 0)
@@ -131,15 +148,18 @@ def extract_patches_batched(
     valid: jnp.ndarray,    # [B, K] bool — invalid slots come back zeroed
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-keypoint patches: ([B, K, 32, 32] smooth, [B, K, 8, 8] raw)."""
+    """Per-keypoint patches: ([B, Kp, 32, 32] smooth, [B, Kp, 8, 8] raw)
+    where Kp = K rounded up to CHUNK. Outputs stay CHUNK-padded — callers
+    size K to the (128-aligned) keypoint capacity so no multi-MB slice of
+    the patch tensor is ever materialized."""
     bsz, hp, wp = smooth.shape
     assert raw.shape == smooth.shape, (raw.shape, smooth.shape)
     assert hp % 8 == 0 and wp % 128 == 0 and hp >= SPAN_R and wp >= SPAN_C, (
         (hp, wp))
     k = x.shape[1]
     kp = -(-k // CHUNK) * CHUNK
-    pad = ((0, 0), (0, kp - k))
     if kp != k:
+        pad = ((0, 0), (0, kp - k))
         x = jnp.pad(x, pad, constant_values=PATCH_C0)
         y = jnp.pad(y, pad, constant_values=PATCH_R0)
         valid = jnp.pad(valid, pad)
@@ -180,7 +200,7 @@ def extract_patches_batched(
         ],
         interpret=interpret,
     )(coords, smooth.astype(jnp.float32), raw.astype(jnp.float32))
-    return patches[:, :k], rawp[:, :k]
+    return patches, rawp
 
 
 def extract_patches_xla(
@@ -188,7 +208,8 @@ def extract_patches_xla(
     x: jnp.ndarray, y: jnp.ndarray, valid: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-XLA reference implementation (CPU path + equivalence tests):
-    identical outputs via vmapped dynamic_slice."""
+    identical outputs via vmapped dynamic_slice (K stays as given, no
+    CHUNK padding)."""
 
     def one(sm, rw, xs, ys, vs):
         p = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(

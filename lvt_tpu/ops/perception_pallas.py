@@ -399,17 +399,17 @@ def perception_patch_maps_batched(
     imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Kernel A for the patch descriptor mode: imgs [B, H, W] ->
-    (nms_score [B, H, W] interior-masked for cell selection,
-     raw_padded [B, Hp, Wp], smooth_padded [B, Hp, Wp]).
+    (nms_padded, raw_padded, smooth_padded), each [B, Hp, Wp].
 
-    raw/smooth keep kernel A's tile padding — the patch kernel
-    (ops/patches_pallas) clamps keypoint coords against the padded extent,
-    so no crop/copy of the two big maps is ever materialized."""
-    bsz, h, w = imgs.shape
+    ALL THREE outputs keep kernel A's tile padding: the kernel masks the
+    3px interior of the TRUE image extent in-kernel (pad rows/cols come
+    out zero), selection derives cell geometry from ``img_hw``
+    (ops/detect.select_corners), and the patch kernel clamps coords
+    against the padded extent — so no crop/where of any big map is ever
+    materialized (r4 xplane: the crop+mask passes cost ~0.2 ms per
+    frame-stream)."""
     raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
-    interior = _interior_mask(h, w)
-    nms = jnp.where(interior, score[:, :h, :w], 0.0)
-    return nms, raw, smooth
+    return score, raw, smooth
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "int16"))

@@ -127,6 +127,7 @@ class TestMultiStream:
         np.testing.assert_allclose(np.asarray(pb.t)[0], np.asarray(p1.t),
                                    atol=3e-4)
 
+    @pytest.mark.slow  # ~32s: the heaviest multistream equivalence check
     def test_divergent_streams_match_their_single_stream_runs(self):
         """Streams carrying DIFFERENT content (different worlds) each track
         exactly like their own single-stream run — per-stream state is
@@ -203,6 +204,7 @@ class TestMultiStream:
         for i in range(s):
             assert np.linalg.norm(est[i] - gt) < 0.6
 
+    @pytest.mark.slow  # ~16s: LOST/reset behavior also covered per-frame
     def test_lost_stream_auto_resets_without_stalling_batch(self):
         world, cfg, frames = self.make(n_frames=4)
         s = 4

@@ -42,18 +42,22 @@ def test_kernel_matches_xla_reference(rng):
     p_ref, rp_ref = pt.extract_patches_xla(smooth, raw, x, y, valid)
     p_ker, rp_ker = pt.extract_patches_batched(smooth, raw, x, y, valid,
                                                interpret=True)
-    np.testing.assert_array_equal(np.asarray(p_ker), np.asarray(p_ref))
-    np.testing.assert_array_equal(np.asarray(rp_ker), np.asarray(rp_ref))
+    k = x.shape[1]
+    np.testing.assert_array_equal(np.asarray(p_ker)[:, :k], np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(rp_ker)[:, :k],
+                                  np.asarray(rp_ref))
 
 
 def test_kernel_pads_odd_keypoint_counts(rng):
-    smooth, raw, x, y, valid = _random_setup(rng, k=pt.CHUNK + 17)
+    k = pt.CHUNK + 17
+    smooth, raw, x, y, valid = _random_setup(rng, k=k)
     p_ref, rp_ref = pt.extract_patches_xla(smooth, raw, x, y, valid)
     p_ker, rp_ker = pt.extract_patches_batched(smooth, raw, x, y, valid,
                                                interpret=True)
-    assert p_ker.shape == p_ref.shape
-    np.testing.assert_array_equal(np.asarray(p_ker), np.asarray(p_ref))
-    np.testing.assert_array_equal(np.asarray(rp_ker), np.asarray(rp_ref))
+    assert p_ker.shape[1] == 2 * pt.CHUNK  # stays CHUNK-padded
+    np.testing.assert_array_equal(np.asarray(p_ker)[:, :k], np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(rp_ker)[:, :k],
+                                  np.asarray(rp_ref))
 
 
 def test_descriptors_from_patches_match_sparse(rng):

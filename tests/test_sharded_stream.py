@@ -80,6 +80,7 @@ def test_sharded_map_matches_unsharded(ba):
         assert np.median(d.min(axis=1)) < 1e-3
 
 
+@pytest.mark.slow  # ~21s: chunk-vs-per-frame equality on the sharded mode
 def test_sharded_chunk_matches_per_frame():
     cfg, frames = make_setup()
     a = ShardedStreamVO(cfg)

@@ -149,12 +149,13 @@ SCENARIOS = (
     Scenario("textured", n_frames=80, world_kind="textured"),
     Scenario("tex_lowtex", n_frames=60, world_kind="textured",
              world_args=(("texture_amp", 45.0),)),
-    # periodic structure is the one regime where lvt_tpu's plateau-
-    # collapsing NMS + top-k selection measurably diverges from the
-    # oracle's ANMS: r4 measured RPE at 1.23x oracle (ATE/rot still below
-    # 1.0x), so this scenario keeps a wider rel margin
+    # periodic structure once needed a wider margin (r4: plateau-collapsed
+    # NMS clustered equal-score picks, RPE 1.23x oracle); the r5 van der
+    # Corput plateau-spreading tie-break (ops/detect._plateau_dither)
+    # brought it back inside the standard margin (measured RPE 1.10x,
+    # ATE 0.47x, rot 0.53x oracle)
     Scenario("tex_stripes", n_frames=60, world_kind="textured",
-             world_args=(("stripe_walls", True),), rel_margin=1.30),
+             world_args=(("stripe_walls", True),)),
     Scenario("tex_occlusion", n_frames=70, world_kind="textured",
              world_args=(("n_occluders", 4),)),
     Scenario("tex_illum", n_frames=60, world_kind="textured",
