@@ -23,6 +23,10 @@ Rejected alternatives (all probed on hardware in r5):
     per-slot semaphores): Mosaic requires DMA slice offsets to respect
     the (8, 128) tiling too — "Failed to prove that a tile index in
     dimension 0 is divisible by the tiling (8)";
+  * a narrow 160-lane fast path (load/rotate 160 lanes when the patch
+    provably fits): "Not implemented: unsupported unaligned shape" —
+    dynamic rotates only exist for multiple-of-128 lane widths, so the
+    256-lane span is the floor;
   * static lane-offset slices (r4: silent miscompile on v5e);
   * per-element gathers (the very tax this kernel removes).
 

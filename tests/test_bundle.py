@@ -142,3 +142,40 @@ def test_sharded_matches_unsharded(rng):
                                np.asarray(ref.poses.t), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.points),
                                np.asarray(ref.points), atol=1e-3)
+
+
+def test_chi2_gate_cuts_mismatches_keeps_noise(rng):
+    """r5 gate semantics (solver/bundle.chi2_gate_weights): observations a
+    few pixels off (wrong-feature associations) are zeroed while Gaussian
+    pixel noise — even large — survives, because the gate adapts to the
+    window's own residual scale."""
+    from lvt_tpu.solver.bundle import chi2_gate_weights
+
+    poses_gt, pts, _, _, obs, obs_r, w = make_ba_problem(
+        rng, pixel_noise=2.0)
+    f, m = obs.shape[:2]
+    # corrupt 10% of left observations by 6-40 px (mismatch-sized)
+    bad = rng.rand(f, m) < 0.10
+    obs = jnp.asarray(
+        np.asarray(obs) + bad[..., None] * rng.uniform(6, 40, (f, m, 2)))
+    w_g, w_rg = chi2_gate_weights(
+        poses_gt, pts, obs, w, baseline=BASELINE,
+        obs_right=obs_r, w_right=w, **K)
+    w_g = np.asarray(w_g)
+    # mismatches cut...
+    assert (w_g[bad] == 0).mean() > 0.9, (w_g[bad] == 0).mean()
+    # ...while sigma=2 noise passes
+    assert (w_g[~bad] > 0).mean() > 0.9, (w_g[~bad] > 0).mean()
+
+
+def test_weighted_point_e2_ranks_fit(rng):
+    """weighted_point_e2 orders point hypotheses by observation fit: the
+    true points must score (strictly) below perturbed copies."""
+    from lvt_tpu.solver.bundle import weighted_point_e2
+
+    poses_gt, pts, _, pts_n, obs, obs_r, w = make_ba_problem(rng)
+    args = dict(baseline=BASELINE, obs_right=obs_r, w_right=w, **K)
+    e_true = np.asarray(weighted_point_e2(poses_gt, pts, obs, w, **args))
+    e_pert = np.asarray(weighted_point_e2(poses_gt, pts_n, obs, w, **args))
+    assert (e_true <= e_pert).mean() > 0.98
+    assert e_true.sum() < e_pert.sum()
