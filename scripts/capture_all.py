@@ -24,6 +24,8 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 STAGES = [
+    ("patch/bitcast kernel checks", [sys.executable,
+                                     "scripts/tpu_patch_check.py"]),
     ("tpu_smoke", [sys.executable, "scripts/tpu_smoke.py"]),
     ("bench single-stream", [sys.executable, "bench.py"]),
     ("bench multistream", [sys.executable, "bench.py", "--multistream"]),
