@@ -30,6 +30,15 @@ Rejected alternatives (all probed on hardware in r5):
   * static lane-offset slices (r4: silent miscompile on v5e);
   * per-element gathers (the very tax this kernel removes).
 
+Span width: each map is staged in VMEM at TWO lane phases (0 and +64 —
+the +64 copy comes from one cheap XLA shift of the padded map).  A
+keypoint picks the phase that puts its column within [0, 96) of a
+128-aligned lane start, so every span is only 128 lanes wide — without
+the phase split the 128-alignment rule forces 256-lane spans.  Measured:
+single-stream identical (709 vs 710 fps — the loop is bound by
+per-keypoint fixed overhead more than span bytes) but multistream S=8
+gained 740 -> 766 fps/chip, so the split ships.
+
 Downstream, descriptor formation is dense linear algebra on the patch
 tensor (ops/brief.descriptors_from_patches): the 64 BRIEF pool samples are
 one static one-hot matmul, evaluated at ``Precision.HIGHEST`` so every
@@ -67,7 +76,8 @@ CHUNK = 128       # keypoints per grid step (keeps the out block <= 512 KB)
 # ---- span geometry
 SPAN_R = 40       # smooth span rows: 32 + 8 (row-alignment slack)
 SPAN_RR = 16      # raw span rows: 8 + 8
-SPAN_C = 256      # span lanes: 32 + 128 slack, rounded up to 128
+SPAN_C = 128      # span lanes (phase-split: column offset lands in [0, 96))
+PHASE = 64        # lane shift of the second staged copy
 _RAW_OFF = PATCH_R0 - RAWP_R0  # == PATCH_C0 - RAWP_C0 == 12
 
 
@@ -81,32 +91,38 @@ def clamp_coords(x: jnp.ndarray, y: jnp.ndarray, hp: int, wp: int):
     return x, y
 
 
-def _stage_maps(b, smooth_hbm, raw_hbm, smooth_slab, raw_slab, sems):
-    """DMA both whole maps for image ``b`` into VMEM (once per image)."""
-    c1 = pltpu.make_async_copy(smooth_hbm.at[b], smooth_slab, sems.at[0])
-    c2 = pltpu.make_async_copy(raw_hbm.at[b], raw_slab, sems.at[1])
-    c1.start()
-    c2.start()
-    c1.wait()
-    c2.wait()
+def _stage_maps(b, hbm_refs, slabs, sems):
+    """DMA the whole maps (both phases) for image ``b`` into VMEM:
+    slabs[0] holds (smooth phase0, smooth phase1), slabs[1] the raw pair."""
+    copies = [
+        pltpu.make_async_copy(hbm_refs[0].at[b], slabs[0].at[0], sems.at[0]),
+        pltpu.make_async_copy(hbm_refs[1].at[b], slabs[0].at[1], sems.at[1]),
+        pltpu.make_async_copy(hbm_refs[2].at[b], slabs[1].at[0], sems.at[2]),
+        pltpu.make_async_copy(hbm_refs[3].at[b], slabs[1].at[1], sems.at[3]),
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
 
 
-def _patch_kernel(coords_ref, smooth_hbm, raw_hbm, patches_ref,
-                  rawp_ref, smooth_slab, raw_slab, sems,
+def _patch_kernel(coords_ref, smooth0_hbm, smooth1_hbm, raw0_hbm, raw1_hbm,
+                  patches_ref, rawp_ref, smooth_slab, raw_slab, sems,
                   *, hp: int, wp: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        _stage_maps(b, smooth_hbm, raw_hbm, smooth_slab, raw_slab, sems)
+        _stage_maps(b, (smooth0_hbm, smooth1_hbm, raw0_hbm, raw1_hbm),
+                    (smooth_slab, raw_slab), sems)
 
     # zero the whole chunk block once; invalid slots stay zero
     patches_ref[0] = jnp.zeros((CHUNK, PATCH, PATCH), jnp.float32)
     rawp_ref[0] = jnp.zeros((CHUNK, RAWP, RAWP), jnp.float32)
 
-    def spanned(slab, y0, x0, r, c, span_r, extent):
-        big = slab[pl.ds(pl.multiple_of(y0, 8), span_r),
+    def spanned(slab, phase, y0, x0, r, c, span_r, extent):
+        big = slab[phase, pl.ds(pl.multiple_of(y0, 8), span_r),
                    pl.ds(pl.multiple_of(x0, 128), SPAN_C)]
         big = pltpu.roll(big, (span_r - r) % span_r, 0)
         big = pltpu.roll(big, (SPAN_C - c) % SPAN_C, 1)
@@ -124,16 +140,21 @@ def _patch_kernel(coords_ref, smooth_hbm, raw_hbm, patches_ref,
     def extract(k, x, y):
         ys = y - PATCH_R0
         xs = x - PATCH_C0
+        # phase selection: use the +64-shifted copy whenever the column
+        # offset from a 128-aligned start would exceed 96, so a 128-lane
+        # span always covers the 32-lane patch (and the raw patch at +12)
+        phase = (xs % 128 >= 96).astype(jnp.int32)
+        xe = xs - phase * PHASE
         y0 = jnp.minimum((ys // 8) * 8, hp - SPAN_R)
-        x0 = jnp.minimum((xs // 128) * 128, wp - SPAN_C)
+        x0 = jnp.minimum((xe // 128) * 128, wp - SPAN_C)
         r = ys - y0   # in [0, 8]
-        c = xs - x0   # in [0, 224]
-        patches_ref[0, k] = spanned(smooth_slab, y0, x0, r, c,
+        c = xe - x0   # in [0, 96]
+        patches_ref[0, k] = spanned(smooth_slab, phase, y0, x0, r, c,
                                     SPAN_R, PATCH)
         # raw span: same lane window, own (tighter) row window
         yr = y - RAWP_R0
         y0r = jnp.minimum((yr // 8) * 8, hp - SPAN_RR)
-        rawp_ref[0, k] = spanned(raw_slab, y0r, x0, yr - y0r,
+        rawp_ref[0, k] = spanned(raw_slab, phase, y0r, x0, yr - y0r,
                                  c + _RAW_OFF, SPAN_RR, RAWP)
 
     def body(i, carry):
@@ -171,6 +192,12 @@ def extract_patches_batched(
         [x, y, valid.astype(x.dtype), jnp.zeros_like(x)], axis=-1
     ).astype(jnp.int32)                                   # [B, Kp, 4]
 
+    smooth = smooth.astype(jnp.float32)
+    raw = raw.astype(jnp.float32)
+
+    def shifted(a):  # the +PHASE lane copy (tail zeros are never read)
+        return jnp.pad(a[:, :, PHASE:], ((0, 0), (0, 0), (0, PHASE)))
+
     def kernel(*refs):
         _patch_kernel(*refs, hp=hp, wp=wp)
 
@@ -186,6 +213,8 @@ def extract_patches_batched(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec((1, CHUNK, PATCH, PATCH), lambda b, j: (b, j, 0, 0),
@@ -198,12 +227,12 @@ def extract_patches_batched(
             jax.ShapeDtypeStruct((bsz, kp, RAWP, RAWP), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.float32),
-            pltpu.VMEM((hp, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, hp, wp), jnp.float32),
+            pltpu.VMEM((2, hp, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(coords, smooth.astype(jnp.float32), raw.astype(jnp.float32))
+    )(coords, smooth, shifted(smooth), raw, shifted(raw))
     return patches, rawp
 
 

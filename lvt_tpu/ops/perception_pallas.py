@@ -61,6 +61,17 @@ MAX_COL_TILE = 512
 # newer Mosaic legalizes 16-bit vector compares.
 # Overridable per-call via the ``int16`` static arg (config.int16_perception).
 INT16_DEFAULT = False
+# bf16 SCORE-side compute for uint8 frames (the attempted r5 replacement
+# for the blocked int16 path): every value in the FAST score chain is an
+# integer in [-255, 255] — exact in bf16 — and the 16-bit pair view
+# (_Roller) halves the ring/NMS shift movement. ALSO BLOCKED on v5e:
+# Mosaic fails with "Target does not support this comparison" — the VPU
+# comparison path is 32-bit-only on this target, so neither int16 nor
+# bf16 16-bit compute can reach the score chain's min/max/compare ops.
+# The path stays interpret-proven (tests/test_pallas_perception.py);
+# hardware status re-probed by scripts/tpu_patch_check.py. Conclusion:
+# on v5e the perception kernels are stuck at f32 compute width.
+BF16_SCORE_DEFAULT = False
 
 
 def _col_tile(w: int) -> int:
@@ -92,12 +103,12 @@ def _roll2(a, dy: int, dx: int):
 
 
 def _colroll(x, dx: int):
-    """Column-only shift, any dtype. int16 rides the 32-bit sublane-pair
-    view (column rolls never cross the row packing), halving the movement;
-    other dtypes defer to _roll2."""
-    if x.dtype == jnp.int16 and dx:
+    """Column-only shift, any dtype. 16-bit dtypes ride the 32-bit
+    sublane-pair view (column rolls never cross the row packing), halving
+    the movement; other dtypes defer to _roll2."""
+    if x.dtype.itemsize == 2 and dx:
         p = pltpu.bitcast(x, jnp.uint32)
-        return pltpu.bitcast(pltpu.roll(p, (-dx) % x.shape[1], 1), jnp.int16)
+        return pltpu.bitcast(pltpu.roll(p, (-dx) % x.shape[1], 1), x.dtype)
     return _roll2(x, 0, dx)
 
 
@@ -105,20 +116,22 @@ class _Roller:
     """Shift provider: ``shift(dy, dx)[p] = a[p + (dy, dx)]`` circularly
     (wrap corruption confined to the slab halo, same as _roll2).
 
-    f32 slabs defer to _roll2 (bit-identical to the r3/r4 kernels). int16
-    slabs — Mosaic's dynamic rotate being 32-bit-only — are viewed as
-    uint32 SUBLANE PAIRS (row 2i in the low half, row 2i+1 in the high
-    half; hardware packing probed by scripts/tpu_patch_check.py). In that
-    view any even row shift and any column shift is ONE half-size roll;
-    odd row shifts reuse a one-time ``p1`` view of the slab pre-shifted by
-    a single row (built with two 16-bit lane shifts + one roll), after
-    which they too are single half-size rolls. Net: ~half the VPU data
-    movement of the f32 path for the ~40 shifted samples of kernel A."""
+    32-bit slabs defer to _roll2 (bit-identical to the r3/r4 kernels).
+    16-bit slabs (int16, bfloat16) — Mosaic's dynamic rotate being
+    32-bit-only — are viewed as uint32 SUBLANE PAIRS (row 2i in the low
+    half, row 2i+1 in the high half; hardware packing probed by
+    scripts/tpu_patch_check.py). In that view any even row shift and any
+    column shift is ONE half-size roll; odd row shifts reuse a one-time
+    ``p1`` view of the slab pre-shifted by a single row (built with two
+    16-bit lane shifts + one roll), after which they too are single
+    half-size rolls. Net: ~half the VPU data movement per shifted
+    sample. The bit tricks are dtype-agnostic (pure bit movement), so
+    bf16 values pass through exactly."""
 
     def __init__(self, a):
         self.a = a
-        self.i16 = a.dtype == jnp.int16
-        if self.i16:
+        self.paired = a.dtype.itemsize == 2
+        if self.paired:
             assert a.shape[0] % 2 == 0, a.shape
             self.rh = a.shape[0] // 2
             p0 = pltpu.bitcast(a, jnp.uint32)
@@ -126,7 +139,7 @@ class _Roller:
             self.pair = (p0, (p0 >> 16) | (pn << 16))     # p1[i] = rows(2i+1, 2i+2)
 
     def shift(self, dy: int, dx: int):
-        if not self.i16:
+        if not self.paired:
             return _roll2(self.a, dy, dx)
         out = self.pair[dy & 1]
         q = dy >> 1   # floor halving: dy = 2q (even) or 2q + 1 (odd)
@@ -134,12 +147,12 @@ class _Roller:
             out = pltpu.roll(out, (-q) % self.rh, 0)
         if dx:
             out = pltpu.roll(out, (-dx) % self.a.shape[1], 1)
-        return pltpu.bitcast(out, jnp.int16)
+        return pltpu.bitcast(out, self.a.dtype)
 
 
 def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
                          *, img_h: int, img_w: int, col_tile: int,
-                         work_dtype=jnp.float32):
+                         work_dtype=jnp.float32, score_dtype=None):
     b = pl.program_id(0)   # image in the batch (e.g. stereo left/right)
     i = pl.program_id(1)   # row tile
     j = pl.program_id(2)   # column tile
@@ -175,6 +188,20 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
             x = x.astype(jnp.int32)
         return x.astype(jnp.float32)
 
+    # score-side compute dtype: bf16 for uint8 frames (exact — every value
+    # in the FAST score chain is an integer in [-255, 255], and bf16
+    # represents integers up to 256 exactly) halves the movement of the 16
+    # ring shifts + 8 NMS shifts (the _Roller pair view) AND runs the ~80
+    # arc/NMS min-max ops at the native (16, 128) double rate. Unlike the
+    # int16 attempt, bf16 min/max/compare are first-class Mosaic ops.
+    sd = score_dtype or work_dtype
+    if sd != work_dtype:
+        sbase = a.astype(sd)
+        rscore = _Roller(sbase)
+    else:
+        sbase = a
+        rscore = ra
+
     # ---- 9x9 box *sum* (separable shift-add tree)
     rsum = a
     for d in range(1, 5):
@@ -192,12 +219,12 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     # int16 lacks a legalized vector min/max in Mosaic (v5e:
     # "failed to legalize arith.minsi" on vector<...xi16>), so the int16
     # path spells them as compare+select.
-    if work_dtype == jnp.int16:
+    if sd == jnp.int16:
         vmin = lambda x, y: jnp.where(x < y, x, y)
         vmax = lambda x, y: jnp.where(x > y, x, y)
     else:
         vmin, vmax = jnp.minimum, jnp.maximum
-    diffs = [ra.shift(dy, dx) - a for dx, dy in RING_OFFSETS]
+    diffs = [rscore.shift(dy, dx) - sbase for dx, dy in RING_OFFSETS]
 
     def arc9(ds, op):
         b2 = [op(ds[k], ds[(k + 1) % 16]) for k in range(16)]
@@ -235,8 +262,8 @@ def _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem,
     # ---- 3x3 non-max suppression, plateau-collapsing like detect.nms3x3:
     # strictly beat the lexicographically-earlier neighbors, tie toward the
     # later ones (collapses equal-score runs on repetitive structure)
-    if score.dtype == jnp.float32:
-        neg_inf = jnp.float32(-jnp.inf)
+    if jnp.issubdtype(score.dtype, jnp.floating):
+        neg_inf = jnp.asarray(-jnp.inf, score.dtype)
     else:
         neg_inf = jnp.asarray(jnp.iinfo(score.dtype).min, score.dtype)
     before = score * 0 + neg_inf
@@ -291,7 +318,8 @@ def _brief_kernel(smooth_hbm, planes_ref, slab, sem,
 
 
 def _run_kernel_a(imgs: jnp.ndarray, interpret: bool,
-                  int16: bool | None = None):
+                  int16: bool | None = None,
+                  bf16_score: bool | None = None):
     """Kernel A over a [B, H, W] batch -> (raw, score, smooth) padded to
     tile multiples (crop with [:, :h, :w]); all three outputs f32.
 
@@ -315,6 +343,10 @@ def _run_kernel_a(imgs: jnp.ndarray, interpret: bool,
     use_i16 = ((INT16_DEFAULT if int16 is None else bool(int16))
                and imgs.dtype == jnp.uint8)
     work_dtype = jnp.int16 if use_i16 else jnp.float32
+    use_bf16 = ((BF16_SCORE_DEFAULT if bf16_score is None else
+                 bool(bf16_score))
+                and imgs.dtype == jnp.uint8 and not use_i16)
+    score_dtype = jnp.bfloat16 if use_bf16 else None
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
@@ -330,11 +362,12 @@ def _run_kernel_a(imgs: jnp.ndarray, interpret: bool,
     def _kernel_a(img_hbm, raw_ref, score_ref, smooth_ref, slab, sem):
         _score_smooth_kernel(img_hbm, raw_ref, score_ref, smooth_ref, slab,
                              sem, img_h=h, img_w=w, col_tile=col_tile,
-                             work_dtype=work_dtype)
+                             work_dtype=work_dtype, score_dtype=score_dtype)
 
     # distinct Mosaic kernel names per working dtype (see masked_dual_top2's
     # note on name collisions through the remote-compile relay)
-    _kernel_a.__name__ = f"score_smooth_{'i16' if use_i16 else 'f32'}"
+    variant = "i16" if use_i16 else ("bf16s" if use_bf16 else "f32")
+    _kernel_a.__name__ = f"score_smooth_{variant}"
 
     raw, score, smooth = pl.pallas_call(
         _kernel_a,
@@ -371,9 +404,11 @@ def _interior_mask(h: int, w: int):
     return ((ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3))[None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "int16"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "int16", "bf16_score"))
 def score_smooth_batched(
-    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
+    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None,
+    bf16_score: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Kernel A only: imgs [B, H, W] -> (raw_score, nms_score, smooth),
     each [B, H, W]. Used by the sparse descriptor mode
@@ -383,7 +418,8 @@ def score_smooth_batched(
     opt-in evidence only; the patch-kernel mode (ops/patches_pallas.py)
     is the production TPU default."""
     bsz, h, w = imgs.shape
-    raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
+    raw, score, smooth = _run_kernel_a(imgs, interpret, int16,
+                                   bf16_score)
     raw = raw[:, :h, :w]
     score = score[:, :h, :w]
     interior = _interior_mask(h, w)
@@ -394,9 +430,11 @@ def score_smooth_batched(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "int16"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "int16", "bf16_score"))
 def perception_patch_maps_batched(
-    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
+    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None,
+    bf16_score: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Kernel A for the patch descriptor mode: imgs [B, H, W] ->
     (nms_padded, raw_padded, smooth_padded), each [B, Hp, Wp].
@@ -408,13 +446,16 @@ def perception_patch_maps_batched(
     against the padded extent — so no crop/where of any big map is ever
     materialized (r4 xplane: the crop+mask passes cost ~0.2 ms per
     frame-stream)."""
-    raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
+    raw, score, smooth = _run_kernel_a(imgs, interpret, int16,
+                                   bf16_score)
     return score, raw, smooth
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "int16"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "int16", "bf16_score"))
 def perception_maps_batched(
-    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None
+    imgs: jnp.ndarray, interpret: bool = False, int16: bool | None = None,
+    bf16_score: bool | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched fused perception: imgs [B, H, W] ->
     (raw_score [B, H, W], nms_score [B, H, W], planes [B, 8, H, W]).
@@ -429,7 +470,8 @@ def perception_maps_batched(
     col_tile = _col_tile(w)
     n_col = -(-w // col_tile)
     wp = n_col * col_tile
-    raw, score, smooth = _run_kernel_a(imgs, interpret, int16)
+    raw, score, smooth = _run_kernel_a(imgs, interpret, int16,
+                                   bf16_score)
 
     # ---- kernel B: BRIEF planes from the smoothed image (always f32:
     # dense mode left the TPU production path in r5 — the patch kernel

@@ -105,3 +105,19 @@ def test_uint8_int16_path_matches_f32_path(img):
     np.testing.assert_array_equal(np.asarray(nms_i), np.asarray(nms_f))
     np.testing.assert_array_equal(np.asarray(raw_i), np.asarray(raw_f))
     np.testing.assert_array_equal(np.asarray(sm_i), np.asarray(sm_f))
+
+
+def test_uint8_bf16_score_path_matches_f32_path(img):
+    """The bf16 score-side path (BF16_SCORE_DEFAULT; exact for uint8
+    frames — FAST diffs/scores are integers in [-255, 255], all exactly
+    representable in bf16) is bit-identical to the f32 kernels. On-chip
+    gate: scripts/tpu_patch_check.py."""
+    from lvt_tpu.ops import perception_pallas as pp
+
+    u8 = np.clip(img, 0, 255).astype(np.uint8)
+    for entry in (pp.perception_maps_batched,
+                  pp.perception_patch_maps_batched):
+        outs_b = entry(jnp.array(u8)[None], interpret=True, bf16_score=True)
+        outs_f = entry(jnp.array(u8)[None], interpret=True, bf16_score=False)
+        for got, want in zip(outs_b, outs_f):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
