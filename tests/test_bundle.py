@@ -179,3 +179,31 @@ def test_weighted_point_e2_ranks_fit(rng):
     e_pert = np.asarray(weighted_point_e2(poses_gt, pts_n, obs, w, **args))
     assert (e_true <= e_pert).mean() > 0.98
     assert e_true.sum() < e_pert.sum()
+
+
+def test_chi2_gate_sharded_matches_unsharded(rng):
+    """The gate's scale estimate is psum-only, so the sharded-map mode
+    (points axis under shard_map) must reproduce the unsharded weights."""
+    from lvt_tpu.solver.bundle import chi2_gate_weights
+
+    poses_gt, pts, _, _, obs, obs_r, w = make_ba_problem(
+        rng, m=256, pixel_noise=1.0)
+    kwargs = dict(**K, baseline=BASELINE)
+    ref_w, ref_wr = chi2_gate_weights(
+        poses_gt, pts, obs, w, obs_right=obs_r, w_right=w, **kwargs)
+
+    mesh = Mesh(np.array(jax.devices()), ("points",))
+    shard = P(None, "points")
+
+    def run(pts_s, obs_s, obs_rs, w_s):
+        return chi2_gate_weights(
+            poses_gt, pts_s, obs_s, w_s, obs_right=obs_rs, w_right=w_s,
+            psum_axis="points", **kwargs)
+
+    got_w, got_wr = jax.jit(jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P("points"), shard, shard, shard),
+        out_specs=(shard, shard),
+    ))(pts, obs, obs_r, w)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+    np.testing.assert_array_equal(np.asarray(got_wr), np.asarray(ref_wr))
