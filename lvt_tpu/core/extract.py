@@ -48,6 +48,21 @@ def _gather_mode(config: VOConfig) -> str:
     return "scatter"  # flat/slice measured slower in the full program (see config)
 
 
+def _patch_mode_fits_vmem(config: VOConfig) -> bool:
+    """The patch kernel stages BOTH maps at BOTH lane phases in VMEM
+    (ops/patches_pallas: 2 scratch slabs of (2, hp, wp) f32). Auto mode
+    only picks "patch" when that comfortably fits v5e's 16 MB alongside
+    the double-buffered output blocks (~1.2 MB) — for bigger frames the
+    tiled dense-plane path remains the safe default."""
+    from lvt_tpu.ops.perception_pallas import TILE_ROWS_A, _col_tile
+
+    hp = -(-config.img_height // TILE_ROWS_A) * TILE_ROWS_A
+    ct = _col_tile(config.img_width)
+    wp = -(-config.img_width // ct) * ct
+    slabs_bytes = 2 * 2 * hp * wp * 4
+    return slabs_bytes <= 12 * 1024 * 1024
+
+
 def _descriptor_mode(config: VOConfig) -> str:
     """Resolve config.descriptor_mode (see config.py for the matrix)."""
     if config.descriptor_mode is not None:
@@ -57,7 +72,7 @@ def _descriptor_mode(config: VOConfig) -> str:
     if _use_pallas(config):
         from lvt_tpu.backend import is_tpu_backend
 
-        if is_tpu_backend():
+        if is_tpu_backend() and _patch_mode_fits_vmem(config):
             return "patch"
     return "dense"
 
@@ -88,7 +103,7 @@ def perception_batched(imgs: jnp.ndarray, config: VOConfig,
 
 
 def _select_and_describe(raw, nms, aux, config: VOConfig,
-                         mode: str) -> FrameFeatures:
+                         mode: str, spread_ties: bool) -> FrameFeatures:
     """Per-image selection + descriptor gather (vmappable).
 
     Descriptors sample at the detected integer corner (``det.kp_int``) —
@@ -102,7 +117,7 @@ def _select_and_describe(raw, nms, aux, config: VOConfig,
         cell_size=config.detection_cell_size,
         max_per_cell=config.max_keypoints_per_cell,
         corners_low_threshold=config.corners_low_threshold,
-        gather_mode=gmode,
+        gather_mode=gmode, spread_ties=spread_ties,
     )
     kp_det = det.kp_int.astype(jnp.float32)
     if mode == "sparse":
@@ -135,6 +150,7 @@ def _extract_patch_mode(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
 
     bsz, h, w = imgs.shape
     use_pallas = _use_pallas(config)
+    spread_ties = _spread_ties(imgs)
     with jax.named_scope("perception"):
         if use_pallas:
             from lvt_tpu.ops import perception_pallas as pp
@@ -155,6 +171,7 @@ def _extract_patch_mode(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
             max_per_cell=config.max_keypoints_per_cell,
             corners_low_threshold=config.corners_low_threshold,
             subpixel=False, img_hw=(h, w),
+            spread_ties=spread_ties,
         ))(nms)
     cap = config.kp_capacity   # 128-aligned, so Kp == cap: padding the
     #                            [B, K] selection arrays HERE (tiny) means
@@ -196,16 +213,26 @@ def _extract_patch_mode(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
     )
 
 
+def _spread_ties(imgs: jnp.ndarray) -> bool:
+    """Plateau-dither selection only for integer-valued frames (uint8):
+    on float frames (e.g. the fused-rectify path's bilinear output) the
+    dither would outrank genuine sub-unit score differences — see
+    ops/detect.select_corners."""
+    return imgs.dtype == jnp.uint8
+
+
 def extract_features_batched(imgs: jnp.ndarray, config: VOConfig) -> FrameFeatures:
     """[B, H, W] images -> batched FrameFeatures [B, kp_capacity]."""
     mode = _descriptor_mode(config)
     if mode == "patch":
         return _extract_patch_mode(imgs, config)
+    spread = _spread_ties(imgs)
     with jax.named_scope("perception"):
         raw, nms, planes = perception_batched(imgs, config, mode)
     with jax.named_scope("corner_select_describe"):
         return jax.vmap(
-            lambda r, n, p: _select_and_describe(r, n, p, config, mode)
+            lambda r, n, p: _select_and_describe(r, n, p, config, mode,
+                                                 spread)
         )(raw, nms, planes)
 
 

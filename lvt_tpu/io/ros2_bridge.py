@@ -67,8 +67,11 @@ ROS_PARAMS = {
     "reset_pose_on_lost_vo": (None, True),
     # the reference's literal parameter spelling (lvt_ros.cpp:161 declares
     # "m_reset_pose_on_lost_vo"); accepted as an alias so existing launch
-    # files map unchanged. When set it wins over the unprefixed name.
-    "m_reset_pose_on_lost_vo": (None, None),
+    # files map unchanged. Declared with a typed default (rclpy forbids
+    # None defaults for statically typed parameters); the effective value
+    # is the AND of both spellings, so setting EITHER to false disables
+    # the reset-on-lost behavior.
+    "m_reset_pose_on_lost_vo": (None, True),
 }
 
 
@@ -157,12 +160,11 @@ class Ros2Bridge:
             for name, (field, _) in ROS_PARAMS.items() if field is not None
         }
         self._vo_overrides = vo_overrides
-        reset_on_lost = self.params["m_reset_pose_on_lost_vo"]
-        if reset_on_lost is None:
-            reset_on_lost = self.params["reset_pose_on_lost_vo"]
+        reset_on_lost = (bool(self.params["m_reset_pose_on_lost_vo"])
+                         and bool(self.params["reset_pose_on_lost_vo"]))
         self.streaming = streaming_cls(
             sensor_type=sensor_type,
-            reset_pose_on_lost=bool(reset_on_lost),
+            reset_pose_on_lost=reset_on_lost,
             queue_size=int(self.params["queue_size"]),
         )
         self.streaming.on_odometry(self._publish_odometry)

@@ -202,10 +202,7 @@ def _subpixel_refine(score_raw: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     yc = jnp.clip(y, 1, h - 2)
     sc = score_raw[yc, xc]
 
-    def offset(sm, s0, sp):
-        denom = sm - 2.0 * s0 + sp
-        off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+    offset = _parab_offset
 
     dx = offset(score_raw[yc, xc - 1], sc, score_raw[yc, xc + 1])
     dy = offset(score_raw[yc - 1, xc], sc, score_raw[yc + 1, xc])
@@ -226,10 +223,7 @@ def _subpixel_refine_flat(score_raw: jnp.ndarray, x: jnp.ndarray,
                  axis=0).reshape(idx.shape)
     sc = s[0]
 
-    def offset(sm, s0, sp):
-        denom = sm - 2.0 * s0 + sp
-        off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+    offset = _parab_offset
 
     dx = offset(s[1], sc, s[2])
     dy = offset(s[3], sc, s[4])
@@ -252,10 +246,7 @@ def _subpixel_refine_slice(score_raw: jnp.ndarray, x: jnp.ndarray,
     )(yc, xc)                                   # [K, 3, 3]
     sc = patch[:, 1, 1]
 
-    def offset(sm, s0, sp):
-        denom = sm - 2.0 * s0 + sp
-        off = 0.5 * (sm - sp) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
-        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+    offset = _parab_offset
 
     dx = offset(patch[:, 1, 0], sc, patch[:, 1, 2])
     dy = offset(patch[:, 0, 1], sc, patch[:, 2, 1])
@@ -297,6 +288,7 @@ def select_corners(
     subpixel: bool = True,
     gather_mode: str = "scatter",   # "scatter" | "slice" (TPU-fast, same result)
     img_hw: tuple[int, int] | None = None,
+    spread_ties: bool = True,
 ) -> Detections:
     """Adaptive threshold + per-cell top-k selection from precomputed score
     maps (shared by the XLA path and the fused Pallas perception kernel).
@@ -323,11 +315,16 @@ def select_corners(
     # ranks by score + plateau dither (see _plateau_dither) so equal-score
     # runs on repetitive structure come back stratified, not clustered —
     # the exact scores are recovered after selection by subtracting the
-    # (position-determined) dither
+    # (position-determined) dither. ``spread_ties`` should be False for
+    # NON-integer score maps (float frames, e.g. the fused-rectify path):
+    # there the sub-1.0 dither would outrank genuine sub-unit score
+    # differences instead of only breaking exact ties, and the post-hoc
+    # subtraction is no longer an exact recovery.
     gy, gx = ncy * s_y, ncx * s_x
     sp = score[: min(gy, score.shape[0]), : min(gx, score.shape[1])]
     sp = jnp.pad(sp, ((0, gy - sp.shape[0]), (0, gx - sp.shape[1])))
-    sp = sp + _plateau_dither(gy, gx)
+    if spread_ties:
+        sp = sp + _plateau_dither(gy, gx)
     cells = sp.reshape(ncy, s_y, ncx, s_x).transpose(0, 2, 1, 3)
     cells = cells.reshape(ncy * ncx, s_y * s_x)
 
@@ -354,7 +351,7 @@ def select_corners(
     # exact score recovery: the dither is a pure function of position, and
     # score + dither is exact in f32 for integer scores < 512 (uint8
     # frames), so threshold semantics are unchanged
-    top_scores = top_keys - _dither_at(y2, x2)
+    top_scores = (top_keys - _dither_at(y2, x2)) if spread_ties else top_keys
     y = y2.reshape(-1)
     x = x2.reshape(-1)
 

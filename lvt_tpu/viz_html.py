@@ -73,13 +73,24 @@ class HtmlMapViewer:
             "age": [int(a) for a in age],
             "staged": [[round(float(v), 3) for v in p] for p in spos],
         })
-        if self.live_every and len(self.frames) % self.live_every == 0:
+        # live rewrite cadence backs off on long runs (the rewrite
+        # serializes the full history, so a fixed interval would be
+        # quadratic over tens of thousands of frames)
+        n = len(self.frames)
+        every = self.live_every if n < 100 * self.live_every \
+            else 10 * self.live_every
+        if self.live_every and n % every == 0:
             self.write_viewer()
 
     def write_viewer(self, filename: str = "viewer.html") -> str:
+        # atomic replace: a live browser tab reloads this file every few
+        # seconds, and must never observe a half-written page (which would
+        # lose the reload timer and kill the live loop)
         path = os.path.join(self.out_dir, filename)
-        with open(path, "w") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(_HTML.replace("__DATA__", json.dumps(self.frames)))
+        os.replace(tmp, path)
         return path
 
 

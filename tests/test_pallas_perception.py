@@ -68,7 +68,8 @@ def test_full_extraction_equivalence(img):
     raw, nms, planes = perception_maps(jnp.array(img), interpret=True)
     det = detect.select_corners(
         raw, nms, 12.0, cell_size=100, max_per_cell=64,
-    )
+        spread_ties=False,   # extraction disables the dither for float
+    )                        # frames (core/extract._spread_ties)
     desc, valid = brief.descriptors_from_planes(
         planes, det.kp_int.astype(jnp.float32), det.valid)
 
