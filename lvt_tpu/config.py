@@ -112,13 +112,12 @@ class VOConfig:
     # s = staged-point re-match. Lets the kernel land partially and lets
     # the TPU bisection scripts isolate a failing composition.
     pallas_matching_sites: str = "mrs"
-    # BRIEF evaluation strategy: dense (default) computes packed bit-planes
-    # for every pixel in the fused perception kernel; sparse gathers the 64
-    # pool samples per selected keypoint from the smoothed image (one flat
-    # take, bit-identical to the dense result at keypoint positions).
-    # Measured on v5e (r4): the sparse XLA gather lowers so poorly that the
-    # full step DROPPED 538 -> 283 fps, so dense stays the production
-    # default until the gather gets a dedicated kernel.
+    # legacy BRIEF strategy toggle, kept for config compatibility; since
+    # r5 ``descriptor_mode`` below is the real knob (this field only maps
+    # use_dense_brief=False -> descriptor_mode "sparse" when
+    # descriptor_mode is unset). History: the sparse XLA gather measured
+    # 538 -> 283 fps on v5e in r4; the r5 patch kernel is the dedicated
+    # gather that finally retired the dense planes.
     use_dense_brief: bool = True
     # descriptor/subpixel formation strategy (None = auto):
     #   "patch"  — Pallas patch-extraction kernel (ops/patches_pallas):
@@ -136,9 +135,11 @@ class VOConfig:
     # bit-identical descriptors at valid keypoints.
     descriptor_mode: str | None = None
     # int16 perception-kernel compute for uint8 frames (exact; see
-    # ops/perception_pallas._run_kernel_a). None = kernel-module default
-    # (INT16_DEFAULT, flipped on once hardware-validated); participates in
-    # the jit cache key as a static argument.
+    # ops/perception_pallas._run_kernel_a). None = kernel-module default.
+    # r5 hardware campaign: BLOCKED on this toolchain (Mosaic legalizes no
+    # 16-bit vector min/cmp — and the bf16 variant hits "Target does not
+    # support this comparison"), so the default stays off; the flag is a
+    # static jit argument and stays interpret-testable.
     int16_perception: bool | None = None
     # per-keypoint lookup lowering (scripts/bench_gather.py, v5e):
     #   "scatter" — XLA advanced-indexing gathers (132 us/frame-equiv in
