@@ -113,6 +113,9 @@ def main_multistream():
     config = _kitti_config()
     n_dev = len(jax.devices())
     s = 8 * n_dev
+    for a in sys.argv:
+        if a.startswith("--streams="):
+            s = int(a.split("=", 1)[1]) * n_dev
     chunk, n_chunks = 8, 12
     world = SyntheticWorld(
         width=config.img_width, height=config.img_height,

@@ -15,6 +15,12 @@ ONE executable:
     python scripts/profile_s_sweep.py --state /tmp/vostate.npz --row 4 --s 8
 
 and a driver loop sweeps (row, S) across processes.
+
+r5 NOTE: the stage rows model the r3/r4 DENSE descriptor pipeline
+(planes kernel + gathers); production extraction moved to the patch mode
+(config.descriptor_mode) in r5. For current per-op attribution use
+scripts/profile_xplane.py (one trace, whole picture); this sweep remains
+the right tool for prefix-marginal questions on the dense fallback.
 """
 
 from __future__ import annotations
