@@ -155,3 +155,59 @@ def test_solve_pnp_matches_opencv(rng):
     cv_inl[inl[:, 0]] = True
     agree = (inl_est == cv_inl).mean()
     assert agree > 0.9, agree
+
+
+# ---------------------------------------------------------------- triangulation
+def test_triangulate_stereo_matches_opencv(rng):
+    """De-circularized triangulation: our batched linear-LS normal-equation
+    solve vs cv2.triangulatePoints (4x3 SVD on the same DLT system) on a
+    rectified stereo rig with pixel noise (reference backend:
+    lvt/src/lvt_local_map.cpp:258-329)."""
+    from lvt_tpu.geometry.se3 import Pose
+    from lvt_tpu.geometry import quaternion as quat
+    from lvt_tpu.ops.triangulate import triangulate_stereo
+
+    fx = fy = 450.0
+    cx, cy = 320.0, 240.0
+    b = 0.35
+    n = 120
+    pts = np.stack([
+        rng.uniform(-5, 5, n), rng.uniform(-3, 3, n), rng.uniform(3, 25, n),
+    ], -1)
+    uv_l = np.stack([fx * pts[:, 0] / pts[:, 2] + cx,
+                     fy * pts[:, 1] / pts[:, 2] + cy], -1)
+    pr = pts - [b, 0.0, 0.0]
+    uv_r = np.stack([fx * pr[:, 0] / pr[:, 2] + cx,
+                     fy * pr[:, 1] / pr[:, 2] + cy], -1)
+    uv_l += rng.randn(n, 2) * 0.3
+    uv_r += rng.randn(n, 2) * 0.3
+
+    identity = Pose(jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    res = triangulate_stereo(
+        jnp.asarray(uv_l, jnp.float32), jnp.asarray(uv_r, jnp.float32),
+        jnp.ones(n, bool), identity,
+        fx=fx, fy=fy, cx=cx, cy=cy, baseline=b,
+        near=0.1, far=100.0, min_x=0, max_x=640, min_y=0, max_y=480,
+        reprojection_th2=5.991,
+    )
+    ours = np.asarray(res.points_cam, np.float64)
+    valid = np.asarray(res.valid)
+    # some sampled points legitimately fall outside the 640x480 frustum or
+    # the chi2 gate; the comparison below runs on the surviving majority
+    assert valid.mean() > 0.6 and valid.sum() > 60
+
+    k_mat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    p_l = k_mat @ np.hstack([np.eye(3), np.zeros((3, 1))])
+    p_r = k_mat @ np.hstack([np.eye(3), np.array([[-b], [0.0], [0.0]])])
+    x4 = cv2.triangulatePoints(p_l, p_r, uv_l.T, uv_r.T)
+    cv = (x4[:3] / x4[3]).T
+
+    # same linear system, different solver (normal equations vs SVD):
+    # agreement to numerical tolerance, and both near the true points
+    err = np.linalg.norm(ours[valid] - cv[valid], axis=-1)
+    rel = err / np.linalg.norm(cv[valid], axis=-1)
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert (rel < 0.01).mean() > 0.98, (rel < 0.01).mean()
+    true_err = np.linalg.norm(ours[valid] - pts[valid], axis=-1)
+    cv_err = np.linalg.norm(cv[valid] - pts[valid], axis=-1)
+    assert np.median(true_err) < 1.5 * np.median(cv_err) + 1e-3
